@@ -1,0 +1,55 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+The surrounding environment pins JAX to the experimental 'axon' TPU tunnel
+platform (JAX_PLATFORMS is shadowed, so the env var alone is not enough);
+we override via jax.config before any backend is initialized so that
+multi-chip sharding logic (mesh/psum/shard_map) is exercised on 8 virtual
+CPU devices — the JAX analogue of a fake multi-node backend.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def stereo_signal(rng):
+    """Synthetic 2-second stereo mixture at 16 kHz: two delayed speech-like
+    sources plus noise, so GCC-PHAT has real structure."""
+    sr = 16000
+    n = 2 * sr
+    t = np.arange(n) / sr
+
+    def source(f0, seed):
+        g = np.random.default_rng(seed)
+        env = np.abs(np.convolve(g.standard_normal(n), np.ones(800) / 800, "same"))
+        harm = sum(np.sin(2 * np.pi * f0 * k * t + g.uniform(0, 6)) / k for k in (1, 2, 3))
+        return (env * harm).astype(np.float32)
+
+    s1, s2 = source(180, 1), source(260, 2)
+    d1, d2 = 6, -9  # integer sample delays between mics
+    left = s1 + s2 + 0.01 * rng.standard_normal(n).astype(np.float32)
+    right = (
+        np.roll(s1, d1) + np.roll(s2, d2)
+        + 0.01 * rng.standard_normal(n).astype(np.float32)
+    )
+    mix = np.stack([left, right]).astype(np.float32)
+    mix /= np.max(np.abs(mix)) * 1.1
+    return mix, sr

@@ -1,0 +1,114 @@
+"""STFT/ISTFT parity and round-trip tests."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from gccnmf_tpu.ops import stft as stft_ops
+from gccnmf_tpu.ops import windows as win_ops
+
+import oracle
+
+
+class TestWindows:
+    def test_hann_symmetric_matches_numpy(self):
+        for n in (8, 511, 1024):
+            np.testing.assert_allclose(
+                win_ops.hann_symmetric(n), np.hanning(n).astype(np.float32), atol=1e-7
+            )
+
+    def test_hann_periodic_matches_scipy(self):
+        for n in (16, 1024):
+            np.testing.assert_allclose(
+                win_ops.hann_periodic(n),
+                scipy.signal.windows.hann(n, sym=False).astype(np.float32),
+                atol=1e-7,
+            )
+
+    def test_sqrt_hamming_matches_numpy(self):
+        np.testing.assert_allclose(
+            win_ops.sqrt_hamming(1024),
+            np.sqrt(np.hamming(1024)).astype(np.float32),
+            atol=1e-7,
+        )
+
+    def test_asymmetric_pair_cola(self):
+        wa, ws = win_ops.asymmetric_analysis_synthesis_pair(1024, 256, 128)
+        assert wa.shape == ws.shape == (1024,)
+        assert np.all(ws[:-256] == 0)
+        assert win_ops.cola_check(wa * ws, 128) < 1e-6
+
+    def test_asymmetric_pair_rejects_bad_hop(self):
+        with pytest.raises(ValueError):
+            win_ops.asymmetric_analysis_synthesis_pair(1024, 250, 128)
+
+
+class TestSTFT:
+    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    def test_matches_reference_stft(self, stereo_signal, method):
+        mix, _ = stereo_signal
+        w = win_ops.hann_symmetric(1024)
+        got = np.asarray(stft_ops.stft(jnp.asarray(mix), w, 128, conjugate=True, method=method))
+        want = oracle.mixture_spectrogram_ref(mix, 1024, 128)
+        # got is (2, T, F); oracle is (2, F, T)
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1), want, atol=2e-4 * np.abs(want).max()
+        )
+
+    def test_batched_shapes(self, stereo_signal):
+        mix, _ = stereo_signal
+        batch = np.stack([mix, mix * 0.5])  # (2, 2, n)
+        w = win_ops.hann_symmetric(1024)
+        spec = stft_ops.stft(jnp.asarray(batch), w, 128)
+        t = stft_ops.num_frames(mix.shape[-1], 1024, 128)
+        assert spec.shape == (2, 2, t, 513)
+
+    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    def test_istft_matches_reference(self, stereo_signal, method):
+        mix, _ = stereo_signal
+        spec_ref = oracle.stft_ref(mix[0], 1024, 128)
+        want = oracle.istft_ref(spec_ref, 1024, 128)
+        w = win_ops.hann_symmetric(1024)
+        got = np.asarray(
+            stft_ops.istft(
+                jnp.asarray(spec_ref.T[None]), w, 128,
+                conjugate=True, center_trim=True, method=method,
+            )
+        )[0]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5 * np.abs(want).max())
+
+    def test_round_trip_cola(self, stereo_signal):
+        """stft -> istft with hann^2 at 1/8 hop reconstructs interior samples
+        up to a constant gain. With the reference's hop/window*2 factor the
+        net gain is ~0.749 (sum of hann^2 at 8x overlap is ~3, times 0.25) —
+        a reference quirk preserved for waveform parity."""
+        mix, _ = stereo_signal
+        y = mix[0][: 1024 * 8]
+        w = win_ops.hann_symmetric(1024)
+        cola_const = float((np.hanning(1024) ** 2)[::128].sum())  # ~2.997
+        spec = stft_ops.stft(jnp.asarray(y), w, 128, conjugate=True)
+        rec = np.asarray(
+            stft_ops.istft(spec, w, 128, conjugate=True, center_trim=True)
+        ) * (128 / 1024.0 * 2)
+        # istft center-trims 512 each side; rec[i] corresponds to y[i + 512].
+        interior = slice(1024, len(rec) - 1024)
+        ref = y[512:][: len(rec)] * (cola_const * 0.25)
+        np.testing.assert_allclose(rec[interior], ref[interior], atol=2e-3)
+
+    def test_overlap_add_scatter_fallback_matches(self):
+        rng = np.random.default_rng(0)
+        frames = rng.standard_normal((3, 7, 96)).astype(np.float32)
+        fast = np.asarray(stft_ops.overlap_add(jnp.asarray(frames), 32))
+        # hop that does not divide frame length -> scatter path
+        slow = np.asarray(stft_ops.overlap_add(jnp.asarray(frames), 40))
+        n = 96 + 6 * 40
+        assert slow.shape == (3, n)
+        # verify both against a naive loop
+        for hop, got in ((32, fast), (40, slow)):
+            want = np.zeros((3, 96 + 6 * hop), np.float32)
+            for t in range(7):
+                want[:, t * hop : t * hop + 96] += frames[:, t]
+            np.testing.assert_allclose(got, want, atol=1e-5)
