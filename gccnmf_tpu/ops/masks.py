@@ -1,0 +1,123 @@
+"""Atom-to-TDOA attribution, coefficient masks, Wiener reconstruction.
+
+Offline path (hard masks): per-(atom, frame) attribution scores for each
+target TDOA, argmax over targets → binary coefficient masks → masked
+``W·H`` magnitudes with mixture phase (reference:
+gccNMF/gccNMFFunctions.py:118-151).
+
+Streaming path (soft masks): per-(frame, atom) argmax TDOA distance to the
+target pushed through a generalized-Gaussian window (or boxcar), then a
+Wiener-style TF mask ``W·HMask / Σ_k W`` (reference:
+gccNMF/realtime/gccNMFProcessor.py:259-269).
+
+Layouts are time-major: scores ``(N, T, K)``, masks ``(N, T, K)``,
+spectrograms ``(..., T, F)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "target_attribution",
+    "hard_coefficient_masks",
+    "masked_reconstruction",
+    "soft_tdoa_coefficient_mask",
+    "boxcar_tdoa_coefficient_mask",
+    "wiener_tf_mask",
+]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def target_attribution(
+    coh: jax.Array,
+    cos_m: jax.Array | np.ndarray,
+    sin_m: jax.Array | np.ndarray,
+    target_indexes: jax.Array | np.ndarray,
+    w: jax.Array,
+) -> jax.Array:
+    """Per-target atom attribution scores ``(N, T, K)``.
+
+    ``scores[n,t,k] = Re( Σ_f W[f,k] · coh[t,f] · exp(-i 2π f τ_n) )``
+    computed as real GEMMs: project coherence onto each target's steering
+    column, then onto the dictionary (reference gccNMFFunctions.py:132-133).
+    """
+    cos_sel = jnp.asarray(cos_m)[:, jnp.asarray(target_indexes)]  # (F, N)
+    sin_sel = jnp.asarray(sin_m)[:, jnp.asarray(target_indexes)]
+    # real part of coh * e: (N, T, F)
+    re = (
+        jnp.real(coh)[..., None, :, :] * cos_sel.T[:, None, :]
+        + jnp.imag(coh)[..., None, :, :] * sin_sel.T[:, None, :]
+    )
+    return jnp.matmul(re, w, precision=_HIGHEST)  # (N, T, K)
+
+
+def hard_coefficient_masks(scores: jax.Array) -> jax.Array:
+    """Binary one-hot masks over the leading target axis.
+
+    NaN-tolerant argmax like the reference's ``nanargmax``
+    (gccNMFFunctions.py:138): NaN scores never win unless a column is
+    all-NaN, in which case target 0 wins (and the frame is silent anyway).
+    """
+    num_targets = scores.shape[0]
+    safe = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    winner = jnp.argmax(safe, axis=0)
+    return jax.nn.one_hot(winner, num_targets, axis=0, dtype=scores.dtype)
+
+
+def masked_reconstruction(
+    masks: jax.Array,
+    spec: jax.Array,
+    w: jax.Array,
+    h_stereo: jax.Array,
+) -> jax.Array:
+    """Per-target complex spectrogram estimates ``(N, 2, T, F)``.
+
+    ``masks``: (N, T, K) shared across channels; ``spec``: (2, T, F)
+    mixture spectrogram; ``h_stereo``: (2, T, K). Magnitudes are
+    ``(H ⊙ mask) Wᵀ`` with the mixture phase re-applied
+    (reference gccNMFFunctions.py:145-151).
+    """
+    masked_h = h_stereo[None, :, :, :] * masks[:, None, :, :]  # (N, 2, T, K)
+    mags = jnp.einsum("nctk,fk->nctf", masked_h, w, precision=_HIGHEST)
+    phase = jnp.exp(1j * jnp.angle(spec))
+    return mags.astype(jnp.complex64) * phase[None]
+
+
+def soft_tdoa_coefficient_mask(
+    argmax_tdoa: jax.Array,
+    target_tdoa_index: jax.Array,
+    epsilon: jax.Array,
+    beta: jax.Array,
+    noise_floor: jax.Array,
+) -> jax.Array:
+    """Generalized-Gaussian soft mask over argmax-TDOA distance.
+
+    ``exp(-(|d - target|/ε)^β) / (1 + floor) + floor`` — the RT path's
+    TARGET_MODE_WINDOW_FUNCTION (reference gccNMFProcessor.py:265).
+    All parameters are traced scalars so interactive slider changes do not
+    trigger recompilation (the jax analogue of Theano SharedVariables,
+    reference gccNMFProcessor.py:195-199).
+    """
+    dist = jnp.abs(argmax_tdoa.astype(jnp.float32) - target_tdoa_index)
+    return jnp.exp(-((dist / epsilon) ** beta)) / (1.0 + noise_floor) + noise_floor
+
+
+def boxcar_tdoa_coefficient_mask(
+    argmax_tdoa: jax.Array, target_tdoa_index: jax.Array, epsilon: jax.Array
+) -> jax.Array:
+    """Hard boxcar mask: 1 within ε of the target TDOA index, else 0
+    (reference TARGET_MODE_BOXCAR, gccNMFProcessor.py:263)."""
+    dist = jnp.abs(argmax_tdoa.astype(jnp.float32) - target_tdoa_index)
+    return jnp.where(dist < epsilon, 1.0, 0.0).astype(jnp.float32)
+
+
+def wiener_tf_mask(w: jax.Array, h_mask: jax.Array) -> jax.Array:
+    """Wiener-style TF mask ``(..., T, F)`` from coefficient mask
+    ``h_mask (..., T, K)``: ``(h_mask Wᵀ) / Σ_k W[f,k]``
+    (reference gccNMFProcessor.py:267-269)."""
+    rec = jnp.einsum("...tk,fk->...tf", h_mask, w, precision=_HIGHEST)
+    return rec / jnp.sum(w, axis=-1)
