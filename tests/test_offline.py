@@ -1,0 +1,145 @@
+"""End-to-end offline pipeline parity vs the NumPy oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gccnmf_tpu.models.offline import GCCNMFEnhancer, GCCNMFSeparator, OfflineConfig
+from gccnmf_tpu.ops import nmf
+from gccnmf_tpu import defs
+
+import oracle
+
+
+def snr_db(ref, est):
+    noise = ref - est
+    return 10 * np.log10((ref ** 2).sum() / max((noise ** 2).sum(), 1e-30))
+
+
+@pytest.fixture(scope="module")
+def separation_results(stereo_signal):
+    mix, sr = stereo_signal
+    cfg = OfflineConfig(
+        dictionary_size=64, num_iterations=50, num_sources=2, sample_rate=sr
+    )
+    sep = GCCNMFSeparator(cfg)
+    got = sep.separate(mix)
+    want = oracle.separate_ref(
+        mix, sr, num_sources=2, dictionary_size=64, num_iterations=50
+    )
+    return got, want
+
+
+class TestOfflineSeparation:
+    def test_target_tdoas_match(self, separation_results):
+        got, want = separation_results
+        assert got["target_tdoa_indexes"] == list(want["targets"])
+
+    def test_estimates_shape(self, separation_results, stereo_signal):
+        got, _ = separation_results
+        mix, _ = stereo_signal
+        n_frames = 1 + (mix.shape[-1] - 1024) // 128
+        n_out = 1024 + 128 * (n_frames - 1) - 1024  # istft length - center trim
+        assert got["estimates"].shape == (2, 2, n_out)
+
+    def test_waveform_parity(self, separation_results):
+        """Separated waveforms match the NumPy oracle closely (float32
+        accumulation-order drift through 50 NMF iterations + argmax mask
+        flips on borderline atoms bound achievable parity)."""
+        got, want = separation_results
+        est, ref = got["estimates"], want["estimates"]
+        assert est.shape == ref.shape
+        for t in range(est.shape[0]):
+            s = snr_db(ref[t], est[t])
+            assert s > 25.0, f"target {t}: parity SNR {s:.1f} dB too low"
+
+    def test_mask_agreement(self, separation_results):
+        got, want = separation_results
+        got_masks = got["coefficient_masks"].transpose(0, 2, 1)  # (N,K,T)
+        agree = (got_masks == want["masks"]).mean()
+        assert agree > 0.995, f"coefficient mask agreement {agree:.4f}"
+
+    def test_separation_writes_files(self, tmp_path, stereo_signal):
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "case_mix.wav")
+        wavio.write_wav(mix, path, sr)
+        cfg = OfflineConfig(
+            dictionary_size=32, num_iterations=10, num_sources=2, sample_rate=sr
+        )
+        res = GCCNMFSeparator(cfg).separate_file(path)
+        assert len(res["paths"]) == 2
+        for p in res["paths"]:
+            assert os.path.exists(p)
+            est, est_sr = wavio.read_wav(p)
+            assert est_sr == sr and est.shape[0] == 2
+
+    def test_separate_batch_matches_single(self, stereo_signal):
+        mix, sr = stereo_signal
+        cfg = OfflineConfig(
+            dictionary_size=32, num_iterations=10, num_sources=2, sample_rate=sr
+        )
+        sep = GCCNMFSeparator(cfg)
+        single = sep.separate(mix)
+        batch_est, batch_targets = sep.separate_batch(
+            np.stack([mix, mix]), num_sources=2
+        )
+        np.testing.assert_array_equal(batch_targets[0], batch_targets[1])
+        assert list(batch_targets[0]) == single["target_tdoa_indexes"]
+        np.testing.assert_allclose(
+            batch_est[0], single["estimates"], atol=1e-4
+        )
+        np.testing.assert_allclose(batch_est[0], batch_est[1], atol=1e-6)
+
+
+class TestOfflineEnhancement:
+    def test_enhance_runs_and_attenuates_off_target(self, stereo_signal):
+        mix, sr = stereo_signal
+        # Pre-learn a small dictionary on the mixture itself.
+        x = oracle.mixture_spectrogram_ref(mix, 1024, 128)
+        v = np.concatenate(np.abs(x), axis=-1)
+        w, _ = oracle.kl_nmf_ref(v, 32, 30)
+        cfg = OfflineConfig(
+            dictionary_size=32, mic_separation_m=1.0, num_tdoas=64, sample_rate=sr
+        )
+        enh = GCCNMFEnhancer(w, cfg, target_epsilon=3.0, target_beta=2.0)
+        res = enh.enhance(mix)
+        out = res["enhanced"]
+        assert out.shape[0] == 2
+        in_energy = (mix ** 2).sum()
+        out_energy = (out ** 2).sum()
+        assert 0 < out_energy < in_energy  # mask removes energy
+        assert 0 <= int(res["target_tdoa_index"]) < 64
+
+    def test_enhance_batched(self, stereo_signal):
+        mix, sr = stereo_signal
+        rng = np.random.default_rng(0)
+        w = rng.random((513, 16)).astype(np.float32) + 0.1
+        cfg = OfflineConfig(dictionary_size=16, num_tdoas=32, sample_rate=sr)
+        enh = GCCNMFEnhancer(w, cfg)
+        single = enh.enhance(mix)["enhanced"]
+        batch = enh.enhance(np.stack([mix, mix]))["enhanced"]
+        np.testing.assert_allclose(batch[0], single, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(defs.DEFAULT_SEPARATION_FILE),
+    reason="reference dev WAV not available",
+)
+class TestBundledDevWav:
+    def test_full_reference_configuration(self, tmp_path):
+        """The reference's own demo configuration (runGCCNMF.py:56-77) on
+        the bundled SiSEC dev mixture: full 128-atom / 100-iteration run,
+        waveform parity vs oracle."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = wavio.read_wav(defs.DEFAULT_SEPARATION_FILE)
+        want = oracle.separate_ref(mix, sr)
+        sep = GCCNMFSeparator(OfflineConfig(sample_rate=sr))
+        got = sep.separate(mix)
+        assert got["target_tdoa_indexes"] == list(want["targets"])
+        for t in range(3):
+            s = snr_db(want["estimates"][t], got["estimates"][t])
+            assert s > 20.0, f"target {t}: parity SNR {s:.1f} dB"
