@@ -1,0 +1,356 @@
+"""Streaming RT-GCC-NMF: fixed-latency block processing on TPU.
+
+The reference implements real-time GCC-NMF as three OS processes exchanging
+512-sample blocks through shared memory with an Event handshake
+(reference: gccNMF/realtime/{runRealtimeGCCNMF,audioProcessor,gccNMFProcessor,utils}.py).
+The TPU-native design replaces all of that with a single pure function:
+
+    step : (StreamState, block) → (StreamState, output_block, telemetry)
+
+carrying the overlap-add rings, GCC-PHAT localization history and target
+index as explicit state. The same step serves three execution modes:
+
+- **host loop**: one jitted call per block — true realtime, measured p50
+  block latency (the analogue of the reference's 32 ms deadline loop,
+  audioProcessor.py:106-132);
+- **`lax.scan`**: whole-utterance streaming in one device program — the
+  throughput mode, and the basis of streaming-vs-offline equivalence tests;
+- **multi-stream**: every array carries a leading stream-batch axis, so B
+  independent streams are enhanced in lockstep on one chip (BASELINE.json
+  config 5).
+
+Mask parameters are traced scalars — interactive changes (sliders in the
+reference GUI) never trigger recompilation, the jax analogue of the
+reference's Theano SharedVariables (gccNMFProcessor.py:195-199).
+
+Latency: the engine emits a block as soon as it is overlap-add-complete —
+(window_size - hop_size) + block_size samples of algorithmic delay; the
+reference's fixed 2-block emission (utils.py:116) is reproduced by
+``extra_delay_blocks=1`` for parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gccnmf_tpu.ops import gcc, masks, stft as stft_ops
+from gccnmf_tpu.ops import windows as win_ops
+
+__all__ = ["StreamConfig", "StreamParams", "StreamState", "RTGCCNMFProcessor"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+TARGET_MODE_BOXCAR = 0
+TARGET_MODE_WINDOW_FUNCTION = 2
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Streaming parameters (defaults match reference realtime/config.py:46-73)."""
+
+    sample_rate: int = 16000
+    window_size: int = 1024
+    hop_size: int = 512
+    block_size: int = 512
+    num_tdoas: int = 64
+    mic_separation_m: float = 0.1
+    num_channels: int = 2
+    history_length: int = 128
+    target_mode: int = TARGET_MODE_WINDOW_FUNCTION
+    extra_delay_blocks: int = 0
+    analysis_window: str = "sqrt_hamming"  # or "asymmetric"
+    synthesis_length: int = 256  # only for asymmetric windows
+
+    @property
+    def windows_per_block(self) -> int:
+        return self.block_size // self.hop_size
+
+    @property
+    def num_freq(self) -> int:
+        return self.window_size // 2 + 1
+
+    @property
+    def ola_length(self) -> int:
+        return self.window_size + (self.windows_per_block - 1) * self.hop_size
+
+    @property
+    def synthesis_support(self) -> int:
+        """Length of the synthesis window's nonzero tail."""
+        return (
+            self.synthesis_length
+            if self.analysis_window == "asymmetric"
+            else self.window_size
+        )
+
+    @property
+    def emit_lag(self) -> int:
+        """Content delay in samples between input and emitted output.
+
+        A sample is complete once the last synthesis-window support covering
+        it has been overlap-added: ``synthesis_support - hop`` samples after
+        it arrives. For symmetric windows this is ``window - hop``; for
+        asymmetric low-latency windows only ``synthesis_length - hop`` —
+        the mechanism behind the reference's <2 ms latency claim
+        (README.md:78)."""
+        return self.synthesis_support - self.hop_size
+
+    @property
+    def algorithmic_latency_s(self) -> float:
+        """Worst-case input-to-output delay in seconds."""
+        samples = self.emit_lag + self.block_size * (1 + self.extra_delay_blocks)
+        return samples / self.sample_rate
+
+
+class StreamParams(NamedTuple):
+    """Traced control parameters — change freely without recompilation."""
+
+    target_tdoa_index: jax.Array  # float32; used when localization disabled
+    target_epsilon: jax.Array  # generalized-Gaussian width
+    target_beta: jax.Array  # shape
+    noise_floor: jax.Array
+    separation_enabled: jax.Array  # bool
+    localization_enabled: jax.Array  # bool
+    localization_window: jax.Array  # int32 frames of history to average
+
+    @staticmethod
+    def default(
+        target_tdoa_index=32.0,
+        target_epsilon=5.0,
+        target_beta=2.0,
+        noise_floor=0.0,
+        separation_enabled=True,
+        localization_enabled=True,
+        localization_window=6,
+    ):
+        return StreamParams(
+            jnp.float32(target_tdoa_index),
+            jnp.float32(target_epsilon),
+            jnp.float32(target_beta),
+            jnp.float32(noise_floor),
+            jnp.asarray(separation_enabled, bool),
+            jnp.asarray(localization_enabled, bool),
+            jnp.int32(localization_window),
+        )
+
+
+class StreamState(NamedTuple):
+    carry_in: jax.Array  # (B, C, window - hop) trailing input samples
+    ola_acc: jax.Array  # (B, C, ola_length) output overlap-add accumulator
+    gcc_history: jax.Array  # (B, hist_len, D) ring of freq-avg GCC-PHAT
+    hist_count: jax.Array  # (B,) int32 frames written so far
+    target_idx: jax.Array  # (B,) float32 current (localized) target TDOA
+    delay_buf: jax.Array  # (B, C, extra_delay_blocks, block) FIFO
+
+
+class RTGCCNMFProcessor:
+    """The streaming enhancement engine around a pre-learned dictionary W."""
+
+    def __init__(self, w: np.ndarray, config: StreamConfig = StreamConfig()):
+        cfg = config
+        if cfg.block_size % cfg.hop_size:
+            raise ValueError("hop_size must divide block_size")
+        self.config = cfg
+        self.w = jnp.asarray(w, jnp.float32)  # (F, K)
+        if self.w.shape[0] != cfg.num_freq:
+            raise ValueError(
+                f"dictionary has {self.w.shape[0]} rows, config expects {cfg.num_freq}"
+            )
+        if cfg.analysis_window == "sqrt_hamming":
+            # Reference RT windows: sqrt(hamming) analysis & synthesis
+            # (gccNMFProcessor.py:186-187).
+            wa = win_ops.sqrt_hamming(cfg.window_size)
+            ws = wa
+        elif cfg.analysis_window == "asymmetric":
+            wa, ws = win_ops.asymmetric_analysis_synthesis_pair(
+                cfg.window_size, cfg.synthesis_length, cfg.hop_size
+            )
+        else:
+            raise ValueError(f"unknown analysis_window: {cfg.analysis_window}")
+        self._analysis_window = jnp.asarray(wa)
+        self._synthesis_window = jnp.asarray(ws)
+        self._cos_sin = gcc.steering_cos_sin(
+            float(cfg.sample_rate), cfg.num_freq, cfg.mic_separation_m, cfg.num_tdoas
+        )
+        # Fold steering ⊗ dictionary for the flat attribution GEMM.
+        cos_m, sin_m = self._cos_sin
+        k = self.w.shape[1]
+        d = cfg.num_tdoas
+        self._cos_w = jnp.asarray(
+            (cos_m[:, :, None] * np.asarray(self.w)[:, None, :]).reshape(-1, d * k)
+        )
+        self._sin_w = jnp.asarray(
+            (sin_m[:, :, None] * np.asarray(self.w)[:, None, :]).reshape(-1, d * k)
+        )
+        self._w_colsum = jnp.sum(self.w, axis=-1)  # (F,)
+
+    # ------------------------------------------------------------------ state
+
+    def init_state(self, batch_size: int = 1) -> StreamState:
+        cfg = self.config
+        b, c = batch_size, cfg.num_channels
+        return StreamState(
+            carry_in=jnp.zeros((b, c, cfg.window_size - cfg.hop_size), jnp.float32),
+            ola_acc=jnp.zeros((b, c, cfg.ola_length), jnp.float32),
+            gcc_history=jnp.zeros((b, cfg.history_length, cfg.num_tdoas), jnp.float32),
+            hist_count=jnp.zeros((b,), jnp.int32),
+            target_idx=jnp.full((b,), cfg.num_tdoas / 2.0, jnp.float32),
+            delay_buf=jnp.zeros(
+                (b, c, cfg.extra_delay_blocks, cfg.block_size), jnp.float32
+            ),
+        )
+
+    # ------------------------------------------------------------------- step
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: StreamState, block: jax.Array, params: StreamParams):
+        """Process one (B, C, block_size) input block."""
+        cfg = self.config
+        m = cfg.windows_per_block
+
+        # --- input OLA framing: last window+(m-1)hop samples, m windows ----
+        stacked = jnp.concatenate([state.carry_in, block], axis=-1)
+        frames = stft_ops.frame_signal(stacked, cfg.window_size, cfg.hop_size)
+        # frames: (B, C, m, window)
+        spec = jnp.fft.rfft(
+            frames * self._analysis_window, n=cfg.window_size, axis=-1
+        ).astype(jnp.complex64)  # (B, C, m, F)
+
+        coh = gcc.coherence(spec)  # (B, m, F)
+        # attribution over all TDOAs: (B, m, D, K) via flat GEMM
+        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST) + jnp.matmul(
+            jnp.imag(coh), self._sin_w, precision=_HIGHEST
+        )
+        d, k = cfg.num_tdoas, self.w.shape[1]
+        scores = flat.reshape(*coh.shape[:-1], d, k)
+        argmax_d = jnp.argmax(scores, axis=-2)  # (B, m, K)
+
+        target = state.target_idx[:, None, None]  # mask uses pre-update target
+        if cfg.target_mode == TARGET_MODE_BOXCAR:
+            h_mask = masks.boxcar_tdoa_coefficient_mask(
+                argmax_d, target, params.target_epsilon
+            )
+        else:
+            h_mask = masks.soft_tdoa_coefficient_mask(
+                argmax_d,
+                target,
+                params.target_epsilon,
+                params.target_beta,
+                params.noise_floor,
+            )
+        tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (B, m, F)
+        tf_mask = jnp.where(params.separation_enabled, tf_mask, 1.0)
+        out_spec = tf_mask[:, None, :, :] * spec  # (B, C, m, F)
+
+        out_frames = (
+            jnp.fft.irfft(out_spec, n=cfg.window_size, axis=-1)
+            * self._synthesis_window
+        )
+        ola = stft_ops.overlap_add(out_frames, cfg.hop_size)  # (B, C, ola_len)
+        acc = state.ola_acc
+        shifted = jnp.concatenate(
+            [acc[..., cfg.block_size :], jnp.zeros_like(acc[..., : cfg.block_size])],
+            axis=-1,
+        )
+        acc = shifted + ola
+        # Emit the newest fully-summed block: samples older than the last
+        # synthesis-support still to come (see StreamConfig.emit_lag).
+        emit_start = cfg.ola_length - cfg.block_size - cfg.emit_lag
+        complete = acc[..., emit_start : emit_start + cfg.block_size]
+
+        # --- extra delay FIFO (reference 2-block emission parity) ----------
+        if cfg.extra_delay_blocks:
+            out_block = state.delay_buf[..., 0, :]
+            delay_buf = jnp.concatenate(
+                [state.delay_buf[..., 1:, :], complete[..., None, :]], axis=-2
+            )
+        else:
+            out_block = complete
+            delay_buf = state.delay_buf
+
+        # --- GCC-PHAT history + localization (after masking, as in the
+        # reference: gccNMFProcessor.py:216-227) --------------------------
+        # freq-avg GCC-PHAT per frame: angular spectrogram / F
+        ang = gcc.angular_spectrogram(coh, *self._cos_sin) / cfg.num_freq  # (B,m,D)
+        history = jnp.concatenate([state.gcc_history[:, m:], ang], axis=1)
+        hist_count = jnp.minimum(state.hist_count + m, cfg.history_length)
+
+        # masked mean over the last `localization_window` valid frames
+        lw = jnp.minimum(params.localization_window, hist_count)  # (B,)
+        pos = jnp.arange(cfg.history_length)
+        sel = (pos[None, :] >= cfg.history_length - lw[:, None]).astype(jnp.float32)
+        mean_gcc = jnp.einsum("bhd,bh->bd", history, sel) / jnp.maximum(
+            lw[:, None], 1
+        ).astype(jnp.float32)
+        localized = jnp.argmax(mean_gcc, axis=-1).astype(jnp.float32)
+        target_idx = jnp.where(
+            params.localization_enabled, localized, params.target_tdoa_index
+        )
+
+        new_state = StreamState(
+            carry_in=stacked[..., cfg.block_size :],
+            ola_acc=acc,
+            gcc_history=history,
+            hist_count=hist_count,
+            target_idx=target_idx,
+            delay_buf=delay_buf,
+        )
+        telemetry = dict(
+            target_tdoa_index=target_idx,
+            gcc_phat=ang,
+            coefficient_mask=h_mask,
+            input_mag=jnp.mean(jnp.abs(spec), axis=1),  # (B, m, F)
+            output_mag=jnp.mean(jnp.abs(out_spec), axis=1),
+        )
+        return new_state, out_block, telemetry
+
+    # ------------------------------------------------------------- scan mode
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def scan_blocks(
+        self,
+        state: StreamState,
+        blocks: jax.Array,
+        params: StreamParams,
+        with_telemetry: bool = False,
+    ):
+        """Process (num_blocks, B, C, block_size) in one device program."""
+
+        def body(st, blk):
+            st, out, tel = self.step(st, blk, params)
+            return st, (out, tel) if with_telemetry else out
+
+        state, ys = jax.lax.scan(body, state, blocks)
+        return state, ys
+
+    # ------------------------------------------------------------ host modes
+
+    def blocks_from_signal(self, stereo: np.ndarray) -> np.ndarray:
+        """Split (C, n) or (B, C, n) audio into (num_blocks, B, C, block)."""
+        cfg = self.config
+        if stereo.ndim == 2:
+            stereo = stereo[None]
+        b, c, n = stereo.shape
+        nb = n // cfg.block_size
+        trimmed = stereo[..., : nb * cfg.block_size]
+        return np.moveaxis(
+            trimmed.reshape(b, c, nb, cfg.block_size), 2, 0
+        )  # (nb, B, C, block)
+
+    def enhance_signal(
+        self, stereo: np.ndarray, params: StreamParams | None = None
+    ) -> np.ndarray:
+        """Stream a whole signal through scan mode; returns (B, C, n_out)
+        aligned like the realtime output (leading algorithmic delay kept)."""
+        params = params or StreamParams.default()
+        blocks = jnp.asarray(self.blocks_from_signal(stereo))
+        state = self.init_state(blocks.shape[1])
+        _, outs = self.scan_blocks(state, blocks, params)
+        out = np.moveaxis(np.asarray(outs), 0, 2)  # (B, C, nb, block)
+        b, c, nb, blk = out.shape
+        return out.reshape(b, c, nb * blk)

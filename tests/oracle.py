@@ -146,6 +146,42 @@ def separate_ref(stereo, sample_rate, window_size=1024, hop_size=128, num_tdoas=
                 targets=targets, scores=scores, masks=masks, estimates=est)
 
 
+def rt_stream_ref(stereo, w, sample_rate, window_size, hop_size, block_size,
+                  num_tdoas, mic_separation, target_tdoa_index, epsilon_, beta,
+                  noise_floor):
+    """Reference streaming loop: 8-block input/output rings, per-block
+    windowed processing via rt_block_ref, overlap-add, fixed 2-block-delay
+    emission (outputBuffer[-3B:-2B]), localization disabled.
+    Returns (C, num_blocks*block_size) float32."""
+    num_freq = window_size // 2 + 1
+    freqs = np.linspace(0, sample_rate / 2.0, num_freq)
+    m = block_size // hop_size
+    buf_len = 8 * block_size
+    in_buf = np.zeros((2, buf_len), np.float32)
+    out_buf = np.zeros((2, buf_len), np.float32)
+    nb = stereo.shape[-1] // block_size
+    emitted = []
+    win_starts = np.arange(
+        buf_len - window_size - (m - 1) * hop_size, buf_len - window_size + 1, hop_size
+    )
+    for t in range(nb):
+        in_buf[:, :-block_size] = in_buf[:, block_size:]
+        in_buf[:, -block_size:] = stereo[:, t * block_size : (t + 1) * block_size]
+        out_buf[:, :-block_size] = out_buf[:, block_size:]
+        out_buf[:, -block_size:] = 0
+        windowed = np.stack(
+            [in_buf[:, s : s + window_size] for s in win_starts], axis=-1
+        )  # (2, window, m)
+        processed, *_ = rt_block_ref(
+            windowed, w, window_size, target_tdoa_index, epsilon_, beta,
+            noise_floor, freqs, mic_separation, num_tdoas,
+        )
+        for i, s in enumerate(win_starts):
+            out_buf[:, s : s + window_size] += processed[..., i]
+        emitted.append(out_buf[:, -3 * block_size : -2 * block_size].copy())
+    return np.concatenate(emitted, axis=-1)
+
+
 def rt_block_ref(windowed_samples, w, window_size, target_tdoa_index, epsilon_, beta,
                  noise_floor, freqs, mic_separation, num_tdoas):
     """Reference streaming block: sqrt-Hamming windows, soft generalized-

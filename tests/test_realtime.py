@@ -1,0 +1,181 @@
+"""Streaming RT-GCC-NMF engine tests: reference parity, scan-vs-step
+equivalence, multi-stream batching, latency/delay semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gccnmf_tpu.models.realtime import (
+    RTGCCNMFProcessor,
+    StreamConfig,
+    StreamParams,
+)
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def dictionary(rng):
+    return (rng.random((513, 64)).astype(np.float32) + 1e-3)
+
+
+@pytest.fixture(scope="module")
+def rt_params():
+    return StreamParams.default(
+        target_tdoa_index=30.0,
+        target_epsilon=5.0,
+        target_beta=2.0,
+        noise_floor=0.0,
+        localization_enabled=False,
+    )
+
+
+class TestRTParity:
+    def test_stream_matches_reference_loop(self, stereo_signal, dictionary, rt_params):
+        """Full streaming output (with the reference's 2-block emission
+        delay) matches the reference multiprocess pipeline's semantics."""
+        mix, sr = stereo_signal
+        mix = mix[:, : 512 * 40]
+        cfg = StreamConfig(extra_delay_blocks=1)
+        proc = RTGCCNMFProcessor(dictionary, cfg)
+        got = proc.enhance_signal(mix, rt_params)[0]
+        want = oracle.rt_stream_ref(
+            mix, dictionary, sr, 1024, 512, 512, 64, 0.1, 30.0, 5.0, 2.0, 0.0
+        )
+        assert got.shape == want.shape
+        # Parity floor: float32 (TPU) vs float64 (NumPy) FFTs flip the
+        # per-atom argmax-TDOA at near-ties, perturbing the soft mask for
+        # isolated atoms — the same flips the reference's own float32
+        # Theano GPU path exhibits vs its NumPy oracle.
+        err = got - want
+        snr = 10 * np.log10((want ** 2).sum() / (err ** 2).sum())
+        assert snr > 25.0, f"stream parity SNR {snr:.1f} dB"
+        tight = (np.abs(err) < 3e-4 * np.abs(want).max()).mean()
+        assert tight > 0.93, f"only {tight:.3f} of samples tightly matched"
+
+    def test_block_deadline_content(self, stereo_signal, dictionary, rt_params):
+        """Default (no extra delay) emits exactly one block earlier than the
+        reference — lower latency, same content."""
+        mix, _ = stereo_signal
+        mix = mix[:, : 512 * 24]
+        fast = RTGCCNMFProcessor(dictionary, StreamConfig()).enhance_signal(
+            mix, rt_params
+        )[0]
+        slow = RTGCCNMFProcessor(
+            dictionary, StreamConfig(extra_delay_blocks=1)
+        ).enhance_signal(mix, rt_params)[0]
+        np.testing.assert_allclose(slow[:, 512:], fast[:, :-512], atol=1e-5)
+        assert np.abs(slow[:, :512]).max() == 0  # pure delay zeros
+
+
+class TestRTEngine:
+    def test_step_scan_equivalence(self, stereo_signal, dictionary, rt_params):
+        mix, _ = stereo_signal
+        proc = RTGCCNMFProcessor(dictionary, StreamConfig())
+        blocks = jnp.asarray(proc.blocks_from_signal(mix[:, : 512 * 10]))
+        state = proc.init_state(1)
+        outs = []
+        for i in range(blocks.shape[0]):
+            state, out, _ = proc.step(state, blocks[i], rt_params)
+            outs.append(np.asarray(out))
+        stepwise = np.stack(outs)
+        state2 = proc.init_state(1)
+        _, scanned = proc.scan_blocks(state2, blocks, rt_params)
+        np.testing.assert_allclose(stepwise, np.asarray(scanned), atol=1e-6)
+
+    def test_multi_stream_batch_independent(self, stereo_signal, dictionary, rt_params):
+        mix, _ = stereo_signal
+        mix = mix[:, : 512 * 12]
+        proc = RTGCCNMFProcessor(dictionary, StreamConfig())
+        single = proc.enhance_signal(mix, rt_params)[0]
+        batch_in = np.stack([mix, 0.5 * mix, np.zeros_like(mix) + mix[:, ::-1]])
+        batch = proc.enhance_signal(batch_in, rt_params)
+        np.testing.assert_allclose(batch[0], single, atol=1e-5)
+        np.testing.assert_allclose(batch[1], 0.5 * single, atol=1e-5)
+
+    def test_separation_disabled_passthrough(self, stereo_signal, dictionary):
+        """With separation off the engine is an identity OLA chain (up to
+        the sqrt-hamming^2 COLA constant)."""
+        mix, _ = stereo_signal
+        mix = mix[:, : 512 * 20]
+        params = StreamParams.default(
+            separation_enabled=False, localization_enabled=False
+        )
+        proc = RTGCCNMFProcessor(dictionary, StreamConfig())
+        out = proc.enhance_signal(mix, params)[0]
+        # sqrt(hamming)*sqrt(hamming) at 50% overlap sums to ~1.08 constant.
+        # Content is emitted exactly one block late (OLA positions map 1:1
+        # onto input positions); skip the ramp-in at the start.
+        w = np.sqrt(np.hamming(1024))
+        cola = (w * w)[::512].sum()
+        got = out[:, 512 * 4 : 512 * 18]
+        want = mix[:, 512 * 3 : 512 * 17] * cola
+        np.testing.assert_allclose(got, want, atol=2e-2 * np.abs(want).max())
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999
+
+    def test_localization_tracks_target(self, dictionary):
+        """A source off to one side should pull the localized TDOA away
+        from center within a few blocks."""
+        sr = 16000
+        n = 512 * 30
+        rng = np.random.default_rng(7)
+        s = rng.standard_normal(n).astype(np.float32)
+        delay = 4
+        mix = np.stack([s, np.roll(s, delay)])
+        params = StreamParams.default(localization_enabled=True, localization_window=6)
+        proc = RTGCCNMFProcessor(dictionary, StreamConfig())
+        blocks = jnp.asarray(proc.blocks_from_signal(mix))
+        state = proc.init_state(1)
+        state, (_, tel) = proc.scan_blocks(state, blocks, params, True)
+        final_idx = float(np.asarray(state.target_idx)[0])
+        # expected TDOA = delay/sr; grid index = (tau+max)/2max*(D-1)
+        max_tdoa = 0.1 / 340.29
+        expect = (delay / sr + max_tdoa) / (2 * max_tdoa) * 63
+        assert abs(final_idx - expect) <= 3.0
+
+    def test_latency_property(self):
+        cfg = StreamConfig()
+        assert cfg.algorithmic_latency_s == (1024 - 512 + 512) / 16000
+        cfg2 = StreamConfig(extra_delay_blocks=1)
+        assert cfg2.algorithmic_latency_s == (1024 - 512 + 1024) / 16000
+
+
+class TestAsymmetricLowLatency:
+    def test_asymmetric_passthrough_reconstruction(self, stereo_signal, dictionary):
+        """Low-latency asymmetric windows: separation-off chain reconstructs
+        the input (COLA-exact product windows)."""
+        mix, _ = stereo_signal
+        cfg = StreamConfig(
+            window_size=1024,
+            hop_size=128,
+            block_size=128,
+            analysis_window="asymmetric",
+            synthesis_length=256,
+        )
+        params = StreamParams.default(
+            separation_enabled=False, localization_enabled=False
+        )
+        proc = RTGCCNMFProcessor(dictionary, cfg)
+        sig = mix[:, : 128 * 100]
+        out = proc.enhance_signal(sig, params)[0]
+        # Content delay is one block; skip the first-window ramp-in.
+        got = out[:, 128 + 2048 : 128 * 90]
+        want = sig[:, 2048 : 128 * 90 - 128]
+        scale = float(np.median(np.abs(got).sum(-1) / np.abs(want).sum(-1)))
+        np.testing.assert_allclose(
+            got, want * scale, atol=3e-2 * np.abs(want).max()
+        )
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999
+
+    def test_asymmetric_latency_below_reference_floor(self):
+        """Asymmetric windows give < 64 ms algorithmic latency even with a
+        1024 window (reference README claim: <2 ms achievable; here the
+        block/hop dominate)."""
+        cfg = StreamConfig(
+            window_size=1024, hop_size=32, block_size=32,
+            analysis_window="asymmetric", synthesis_length=64,
+        )
+        assert cfg.algorithmic_latency_s < 0.064
