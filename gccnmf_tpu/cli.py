@@ -1,0 +1,241 @@
+"""Command-line entry points.
+
+Mirrors the reference's two executables:
+
+- ``gccnmf-separate`` ≙ gccNMF/runGCCNMF.py (offline separation)
+- ``gccnmf-stream``   ≙ gccNMF/realtime/runRealtimeGCCNMF.py --no-gui
+  (headless streaming enhancement over a WAV file)
+
+plus ``gccnmf-enhance`` (offline/online enhancement) and
+``gccnmf-bench`` (the benchmark harness).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+
+def separate_main(argv=None):
+    ap = argparse.ArgumentParser(description="Offline GCC-NMF source separation")
+    ap.add_argument("input", help="stereo mixture WAV (<prefix>_mix.wav)")
+    ap.add_argument("-o", "--output-prefix", default=None)
+    ap.add_argument("--num-sources", type=int, default=3)
+    ap.add_argument("--auto-sources", action="store_true",
+                    help="detect source count by clustering peak heights")
+    ap.add_argument("--window-size", type=int, default=1024)
+    ap.add_argument("--hop-size", type=int, default=128)
+    ap.add_argument("--num-tdoas", type=int, default=128)
+    ap.add_argument("--mic-separation", type=float, default=1.0)
+    ap.add_argument("--dictionary-size", type=int, default=128)
+    ap.add_argument("--num-iterations", type=int, default=100)
+    ap.add_argument("--sparsity-alpha", type=float, default=0.0)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+    from gccnmf_tpu.utils import wav
+
+    _, sr = wav.read_wav(args.input)
+    cfg = OfflineConfig(
+        window_size=args.window_size,
+        hop_size=args.hop_size,
+        num_tdoas=args.num_tdoas,
+        mic_separation_m=args.mic_separation,
+        dictionary_size=args.dictionary_size,
+        num_iterations=args.num_iterations,
+        sparsity_alpha=args.sparsity_alpha,
+        num_sources=None if args.auto_sources else args.num_sources,
+        sample_rate=sr,
+    )
+    result = GCCNMFSeparator(cfg).separate_file(args.input, args.output_prefix)
+    print(
+        json.dumps(
+            dict(
+                outputs=result["paths"],
+                target_tdoa_indexes=result["target_tdoa_indexes"],
+            )
+        )
+    )
+    return 0
+
+
+def enhance_main(argv=None):
+    ap = argparse.ArgumentParser(description="GCC-NMF speech enhancement")
+    ap.add_argument("input", help="stereo WAV")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--mode", choices=["offline", "online"], default="online")
+    ap.add_argument("-c", "--config", default=None, help="INI config file")
+    ap.add_argument("--dictionary-size", type=int, default=None)
+    ap.add_argument("--num-h-updates", type=int, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    from gccnmf_tpu import pretrain
+    from gccnmf_tpu.config import load_config
+    from gccnmf_tpu.utils import wav
+
+    cfg = load_config(
+        args.config,
+        dictionary_size=args.dictionary_size,
+        num_h_updates=args.num_h_updates,
+        audio_path=args.input,
+    )
+    stereo, sr = wav.read_wav(args.input)
+    banks = pretrain.get_dictionaries(
+        cfg.window_size, sizes=(cfg.dictionary_size,)
+    )
+    w = banks[cfg.dictionary_type][cfg.dictionary_size]
+
+    if args.mode == "online":
+        from gccnmf_tpu.models.online import OnlineConfig, OnlineGCCNMFEnhancer
+
+        ocfg = OnlineConfig(
+            sample_rate=sr,
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+            num_tdoas=cfg.num_tdoas,
+            mic_separation_m=cfg.microphone_separation_in_metres,
+            num_h_updates=cfg.num_h_updates,
+            smoothing_window=cfg.localization_window_size,
+            target_epsilon=cfg.target_tdoa_epsilon,
+            target_beta=cfg.target_tdoa_beta,
+            noise_floor=cfg.target_tdoa_noise_floor,
+        )
+        out = OnlineGCCNMFEnhancer(w, ocfg).enhance(stereo)["enhanced"]
+    else:
+        from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig
+
+        ecfg = OfflineConfig(
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+            num_tdoas=cfg.num_tdoas,
+            mic_separation_m=cfg.microphone_separation_in_metres,
+            sample_rate=sr,
+        )
+        out = GCCNMFEnhancer(
+            w,
+            ecfg,
+            target_epsilon=cfg.target_tdoa_epsilon,
+            target_beta=cfg.target_tdoa_beta,
+            noise_floor=cfg.target_tdoa_noise_floor,
+        ).enhance(stereo)["enhanced"]
+
+    out_path = args.output or args.input.rsplit(".", 1)[0] + "_enhanced.wav"
+    wav.write_wav(np.asarray(out), out_path, sr)
+    print(json.dumps(dict(output=out_path)))
+    return 0
+
+
+def stream_main(argv=None):
+    """Headless streaming enhancement (the --no-gui realtime mode)."""
+    ap = argparse.ArgumentParser(description="Streaming RT-GCC-NMF enhancement")
+    ap.add_argument("-i", "--input", required=True, help="input WAV path")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("-c", "--config", default=None, help="INI config file")
+    ap.add_argument("--reference-delay", action="store_true",
+                    help="reproduce the reference's 2-block output delay")
+    ap.add_argument("--low-latency", action="store_true",
+                    help="asymmetric analysis/synthesis windows")
+    ap.add_argument("--synthesis-length", type=int, default=256,
+                    help="synthesis-window support for --low-latency mode; "
+                         "the hop is clamped to synthesis_length/2 so the "
+                         "COLA condition holds")
+    ap.add_argument("--realtime", action="store_true",
+                    help="host-loop block-by-block with deadline telemetry")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    from gccnmf_tpu import pretrain
+    from gccnmf_tpu.config import load_config
+    from gccnmf_tpu.models.realtime import (
+        RTGCCNMFProcessor,
+        StreamConfig,
+        StreamParams,
+    )
+    from gccnmf_tpu.utils import wav
+
+    cfg = load_config(args.config, audio_path=args.input)
+    stereo, sr = wav.read_wav(args.input)
+    banks = pretrain.get_dictionaries(cfg.window_size, sizes=(cfg.dictionary_size,))
+    w = banks[cfg.dictionary_type][cfg.dictionary_size]
+
+    # Low-latency mode needs hop <= synthesis_length/2 for COLA; the default
+    # config's hop (window/2) is meant for the symmetric sqrt-hamming path.
+    hop = cfg.hop_size
+    if args.low_latency:
+        hop = min(hop, args.synthesis_length // 2)
+    scfg = StreamConfig(
+        sample_rate=sr,
+        window_size=cfg.window_size,
+        hop_size=hop,
+        block_size=cfg.block_size,
+        synthesis_length=args.synthesis_length,
+        num_tdoas=cfg.num_tdoas,
+        mic_separation_m=cfg.microphone_separation_in_metres,
+        history_length=cfg.num_tdoa_history,
+        extra_delay_blocks=1 if args.reference_delay else 0,
+        analysis_window="asymmetric" if args.low_latency else "sqrt_hamming",
+    )
+    params = StreamParams.default(
+        target_epsilon=cfg.target_tdoa_epsilon,
+        target_beta=cfg.target_tdoa_beta,
+        noise_floor=cfg.target_tdoa_noise_floor,
+        localization_enabled=cfg.localization_enabled,
+        localization_window=cfg.localization_window_size,
+    )
+    proc = RTGCCNMFProcessor(w, scfg)
+
+    if args.realtime:
+        import time
+
+        import jax.numpy as jnp
+
+        blocks = proc.blocks_from_signal(stereo)
+        state = proc.init_state(1)
+        outs, times = [], []
+        for i in range(blocks.shape[0]):
+            t0 = time.perf_counter()
+            state, out, _ = proc.step(state, jnp.asarray(blocks[i]), params)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            outs.append(np.asarray(out))
+        out = np.concatenate([o[0] for o in outs], axis=-1)
+        deadline = scfg.block_size / sr
+        stats = dict(
+            p50_ms=round(float(np.percentile(times, 50)) * 1e3, 3),
+            p99_ms=round(float(np.percentile(times, 99)) * 1e3, 3),
+            deadline_ms=round(deadline * 1e3, 3),
+            deadline_misses=int(np.sum(np.asarray(times) > deadline)),
+            blocks=len(times),
+        )
+    else:
+        out = proc.enhance_signal(stereo, params)[0]
+        stats = dict(blocks=out.shape[-1] // scfg.block_size)
+
+    out_path = args.output or args.input.rsplit(".", 1)[0] + "_rtenhanced.wav"
+    wav.write_wav(out, out_path, sr)
+    print(
+        json.dumps(
+            dict(
+                output=out_path,
+                algorithmic_latency_ms=round(scfg.algorithmic_latency_s * 1e3, 3),
+                **stats,
+            )
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(separate_main())

@@ -1,0 +1,146 @@
+"""CLI and pretraining tests (run on the CPU test platform)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gccnmf_tpu import pretrain
+from gccnmf_tpu.utils import wav as wavio
+
+
+@pytest.fixture()
+def wav_file(tmp_path, stereo_signal):
+    mix, sr = stereo_signal
+    path = str(tmp_path / "case_mix.wav")
+    wavio.write_wav(mix, path, sr)
+    return path, sr
+
+
+class TestPretrain:
+    def test_corpus_from_wavs(self, wav_file):
+        path, _ = wav_file
+        corpus = pretrain.training_corpus_from_wavs([path], 1024, 512)
+        assert corpus.ndim == 2 and corpus.shape[1] == 513
+        assert corpus.dtype == np.float32
+        assert np.all(corpus >= 0)
+
+    def test_pretrain_and_cache(self, wav_file, tmp_path):
+        path, _ = wav_file
+        corpus = pretrain.training_corpus_from_wavs([path], 1024, 512)[:256]
+        cache = str(tmp_path / "cache")
+        w1 = pretrain.pretrain_dictionary(
+            corpus, 16, num_iterations=5, cache_dir=cache
+        )
+        assert w1.shape == (513, 16)
+        files = os.listdir(cache)
+        assert len(files) == 1
+        # second call loads from cache (same result, no retrain)
+        w2 = pretrain.pretrain_dictionary(
+            corpus, 16, num_iterations=5, cache_dir=cache
+        )
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_cache_keyed_by_corpus(self, wav_file, tmp_path):
+        """Unlike the reference (keyed by size only), different corpora get
+        different cache entries."""
+        path, _ = wav_file
+        corpus = pretrain.training_corpus_from_wavs([path], 1024, 512)[:256]
+        cache = str(tmp_path / "cache")
+        pretrain.pretrain_dictionary(corpus, 16, num_iterations=2, cache_dir=cache)
+        pretrain.pretrain_dictionary(
+            corpus * 2.0, 16, num_iterations=2, cache_dir=cache
+        )
+        assert len(os.listdir(cache)) == 2
+
+    def test_get_dictionaries_banks(self, wav_file, tmp_path):
+        path, _ = wav_file
+        corpus = pretrain.training_corpus_from_wavs([path], 1024, 512)[:128]
+        banks = pretrain.get_dictionaries(
+            1024, sizes=(8, 16), train_v=corpus, cache_dir=str(tmp_path / "c")
+        )
+        assert set(banks) == {"Pretrained", "Random"}
+        assert banks["Pretrained"][8].shape == (513, 8)
+        assert banks["Random"][16].shape == (513, 16)
+        # ordered by spectral centroid
+        w = banks["Pretrained"][16]
+        cents = (np.arange(513)[:, None] * w).sum(0) / w.sum(0)
+        assert np.all(np.diff(cents) >= -1e-3)
+
+
+class TestCLI:
+    def test_separate_cli(self, wav_file, tmp_path, capsys):
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        rc = cli.separate_main(
+            [
+                path,
+                "-o", str(tmp_path / "out"),
+                "--num-sources", "2",
+                "--dictionary-size", "16",
+                "--num-iterations", "5",
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["outputs"]) == 2
+        for p in info["outputs"]:
+            assert os.path.exists(p)
+
+    def test_stream_cli(self, wav_file, tmp_path, capsys, monkeypatch):
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        # small dictionary via config file for speed
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.stream_main(
+            ["-i", path, "-o", str(tmp_path / "o.wav"), "-c", str(cfgp)]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert os.path.exists(info["output"])
+        assert info["algorithmic_latency_ms"] == pytest.approx(64.0)
+
+    def test_stream_cli_low_latency(self, wav_file, tmp_path, capsys, monkeypatch):
+        """--low-latency must clamp the hop so the asymmetric-window COLA
+        condition holds even with the default (hop = window/2) config."""
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.stream_main(
+            ["-i", path, "-o", str(tmp_path / "ll.wav"), "-c", str(cfgp),
+             "--low-latency"]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert os.path.exists(info["output"])
+        # emit lag is synthesis_length - hop = 128 samples (8 ms); plus one
+        # 512-sample block = 40 ms total, well under the symmetric 96 ms.
+        assert info["algorithmic_latency_ms"] == pytest.approx(40.0)
+
+    def test_enhance_cli_online(self, wav_file, tmp_path, capsys, monkeypatch):
+        from gccnmf_tpu import cli
+
+        path, _ = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.enhance_main(
+            [path, "-o", str(tmp_path / "e.wav"), "--mode", "online", "-c", str(cfgp)]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert os.path.exists(info["output"])
