@@ -10,6 +10,14 @@ as **audio-seconds processed per second per chip**, batched on one device.
 implementation (gccnmf_tpu.baselines.numpy_ref) measured on this host at
 the same configuration.
 
+Also reports streaming RT-GCC-NMF latency two ways:
+- ``streaming_device_ms_per_block``: per-block device compute, measured by
+  scanning a whole utterance in one program (the honest kernel latency);
+- ``streaming_p50_block_latency_ms``: p50 of a host-driven block loop.
+  NOTE: on this harness every dispatch crosses the axon TPU tunnel
+  (~30 ms round trip for ANY program, even ``jit(lambda x: x*2)``), so
+  this number is tunnel-bound, not compute-bound.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
@@ -21,6 +29,23 @@ import sys
 import time
 
 import numpy as np
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def _setup_jax():
+    import jax
+
+    # Persistent compilation cache: repeat bench runs skip the ~1 min of
+    # XLA compiles (the axon tunnel makes fresh compiles expensive).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(_CACHE_DIR, "jaxcache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    return jax
 
 
 def _load_audio():
@@ -39,21 +64,25 @@ def _load_audio():
     return stereo.astype(np.float32), sr, "synthetic"
 
 
-def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
-    from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+def _offline_cfg(sr, quick):
+    from gccnmf_tpu.models.offline import OfflineConfig
 
-    cfg = OfflineConfig(sample_rate=sr)
     if quick:
-        cfg = OfflineConfig(
+        return OfflineConfig(
             sample_rate=sr, num_iterations=10, dictionary_size=32, num_tdoas=64
         )
-    sep = GCCNMFSeparator(cfg)
+    return OfflineConfig(sample_rate=sr)
+
+
+def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
+    from gccnmf_tpu.models.offline import GCCNMFSeparator
+
+    sep = GCCNMFSeparator(_offline_cfg(sr, quick))
     batch_in = np.broadcast_to(stereo, (batch,) + stereo.shape)
-    # warmup / compile
-    est, _ = sep.separate_batch(batch_in, num_sources=3)
+    sep.separate_batch(batch_in, num_sources=3)  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(repeats):
-        est, _ = sep.separate_batch(batch_in, num_sources=3)
+        sep.separate_batch(batch_in, num_sources=3)
     elapsed = time.perf_counter() - t0
     audio_seconds = batch * repeats * stereo.shape[-1] / sr
     return audio_seconds / elapsed
@@ -71,9 +100,9 @@ def bench_offline_numpy(stereo, sr, quick: bool):
     return (stereo.shape[-1] / sr) / elapsed
 
 
-def bench_streaming_latency(sr):
-    """p50 single-block step latency of the RT streaming engine (ms)."""
-    import jax
+def bench_streaming(sr, host_steps: int = 30):
+    """Returns (device_ms_per_block, host_p50_ms, streams_x_realtime)."""
+    import jax.numpy as jnp
 
     from gccnmf_tpu.models.realtime import (
         RTGCCNMFProcessor,
@@ -83,47 +112,69 @@ def bench_streaming_latency(sr):
 
     rng = np.random.default_rng(0)
     w = rng.random((513, 64)).astype(np.float32) + 1e-3
-    proc = RTGCCNMFProcessor(w, StreamConfig(sample_rate=sr))
+    cfg = StreamConfig(sample_rate=sr)
+    proc = RTGCCNMFProcessor(w, cfg)
     params = StreamParams.default()
-    state = proc.init_state(1)
-    block = np.asarray(rng.standard_normal((1, 2, 512)), np.float32) * 0.1
-    import jax.numpy as jnp
 
-    block = jnp.asarray(block)
-    # warmup/compile
-    state, out, _ = proc.step(state, block, params)
+    # --- device per-block latency: whole 10 s utterance in one scan -------
+    sig = np.asarray(rng.standard_normal((1, 2, 10 * sr)), np.float32) * 0.1
+    blocks = jnp.asarray(proc.blocks_from_signal(sig))
+    nb = blocks.shape[0]
+    state = proc.init_state(1)
+    _, outs = proc.scan_blocks(state, blocks, params)  # compile
+    outs.block_until_ready()
+    t0 = time.perf_counter()
+    _, outs = proc.scan_blocks(state, blocks, params)
+    outs.block_until_ready()
+    scan_s = time.perf_counter() - t0
+    device_ms = scan_s / nb * 1e3
+    rt_factor = (nb * cfg.block_size / sr) / scan_s
+
+    # --- host-loop p50 (tunnel-dispatch bound on this harness) ------------
+    state = proc.init_state(1)
+    block = blocks[0]
+    st, out, _ = proc.step(state, block, params)
     out.block_until_ready()
     times = []
-    for _ in range(200):
+    for _ in range(host_steps):
         t0 = time.perf_counter()
-        state, out, _ = proc.step(state, block, params)
+        st, out, _ = proc.step(st, block, params)
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
-    return float(np.percentile(times, 50) * 1e3)
+    return device_ms, float(np.percentile(times, 50) * 1e3), rt_factor
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small config smoke run")
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--skip-numpy", action="store_true")
     args = ap.parse_args()
 
+    jax = _setup_jax()
     stereo, sr, source = _load_audio()
 
     tpu_throughput = bench_offline_tpu(stereo, sr, args.batch, args.repeats, args.quick)
-    numpy_throughput = bench_offline_numpy(stereo, sr, args.quick)
-    p50_ms = bench_streaming_latency(sr)
-
-    import jax
+    device_ms, p50_ms, stream_rt = bench_streaming(sr)
+    if args.skip_numpy:
+        numpy_throughput = None
+    else:
+        numpy_throughput = bench_offline_numpy(stereo, sr, args.quick)
 
     result = {
         "metric": "offline separation throughput",
         "value": round(tpu_throughput, 2),
         "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(tpu_throughput / numpy_throughput, 2),
-        "baseline_numpy_audio_s_per_s": round(numpy_throughput, 2),
+        "vs_baseline": (
+            round(tpu_throughput / numpy_throughput, 2) if numpy_throughput else None
+        ),
+        "baseline_numpy_audio_s_per_s": (
+            round(numpy_throughput, 2) if numpy_throughput else None
+        ),
         "realtime_factor": round(tpu_throughput, 2),
+        "streaming_device_ms_per_block": round(device_ms, 3),
+        "streaming_realtime_factor": round(stream_rt, 1),
         "streaming_p50_block_latency_ms": round(p50_ms, 3),
         "streaming_block_deadline_ms": 32.0,
         "audio_source": source,

@@ -237,5 +237,40 @@ def stream_main(argv=None):
     return 0
 
 
+def realtime_main(argv=None):
+    """Headless realtime app (reference runRealtimeGCCNMF.py --no-gui:
+    argparse surface at realtime/config.py:122-127)."""
+    ap = argparse.ArgumentParser(description="Realtime GCC-NMF app (headless)")
+    ap.add_argument("-i", "--input", default=None, help="input WAV path")
+    ap.add_argument("-c", "--config", default=None, help="INI config file")
+    ap.add_argument("-o", "--output", default=None, help="output WAV path")
+    ap.add_argument("--no-gui", action="store_true",
+                    help="accepted for reference-CLI compatibility; this "
+                         "build is always headless")
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="stop after N blocks (default: whole file)")
+    ap.add_argument("--loop", action="store_true", help="loop the input file")
+    ap.add_argument("--realtime-pace", action="store_true",
+                    help="pace blocks at the 32 ms deadline")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+    if args.loop and args.blocks is None:
+        ap.error("--loop requires --blocks (otherwise the run never ends)")
+
+    from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+
+    app = RealtimeGCCNMF(args.input, args.config)
+    stats = app.run(
+        output_path=args.output,
+        num_blocks=args.blocks,
+        loop=args.loop,
+        realtime=args.realtime_pace,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(separate_main())

@@ -1,0 +1,274 @@
+"""Headless realtime GCC-NMF application shell.
+
+The reference's app (reference: gccNMF/realtime/runRealtimeGCCNMF.py:41-190)
+spawns three OS processes — Qt GUI, PyAudio I/O, DSP — wired with
+Queue+Event handshakes and shared-memory arrays. The TPU-native runtime is a
+single host process:
+
+- the audio layer is an iterator (:class:`FilePlayerSource`);
+- the DSP is one jitted ``step`` whose state lives on device
+  (:class:`gccnmf_tpu.models.realtime.RTGCCNMFProcessor`);
+- control parameters are traced scalars (``StreamParams``) — updating them
+  between blocks never recompiles, the analogue of the reference's Theano
+  SharedVariable fast path (gccNMFProcessor.py:106-125);
+- structural changes (dictionary size/type) rebuild the engine, the
+  analogue of the reference's reset()/buildTheanoFunctions slow path
+  (gccNMFProcessor.py:127-157, 233-270);
+- telemetry histories are host ring buffers (:class:`CircularBuffer`)
+  updated from the step's telemetry outputs, replacing the shared-memory
+  buffers the reference GUI reads (runRealtimeGCCNMF.py:74-81);
+- per-block wall times are logged every 2 s like the reference's audio
+  process (audioProcessor.py:98-102).
+
+No GUI: this is the ``RealtimeGCCNMFNoGUI`` equivalent
+(runRealtimeGCCNMF.py:122-179) and the programmatic host for notebooks and
+benchmarks. Visualization helpers live in :mod:`gccnmf_tpu.viz`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import replace as dc_replace
+
+import numpy as np
+
+from gccnmf_tpu import pretrain
+from gccnmf_tpu.config import GCCNMFConfig, load_config
+from gccnmf_tpu.models.realtime import (
+    RTGCCNMFProcessor,
+    StreamConfig,
+    StreamParams,
+)
+from gccnmf_tpu.realtime.audio import FilePlayerSource, WavSink
+from gccnmf_tpu.realtime.buffers import CircularBuffer
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["RealtimeGCCNMF"]
+
+_TELEMETRY_LOG_INTERVAL_S = 2.0
+
+
+class RealtimeGCCNMF:
+    """Single-process realtime GCC-NMF speech enhancer over a WAV source."""
+
+    def __init__(
+        self,
+        audio_path: str | None = None,
+        config_path: str | None = None,
+        config: GCCNMFConfig | None = None,
+        dictionaries: dict | None = None,
+    ):
+        self.config = config or load_config(config_path, audio_path=audio_path)
+        cfg = self.config
+        self.audio_path = audio_path or cfg.audio_path
+        if self.audio_path is None:
+            from gccnmf_tpu import defs
+
+            self.audio_path = defs.DEFAULT_AUDIO_FILE
+        self._dictionaries = dictionaries  # {type: {size: W}} or None (lazy)
+        self.dictionary_size = cfg.dictionary_size
+        self.dictionary_type = cfg.dictionary_type
+        self.params = StreamParams.default(
+            target_epsilon=cfg.target_tdoa_epsilon,
+            target_beta=cfg.target_tdoa_beta,
+            noise_floor=cfg.target_tdoa_noise_floor,
+            localization_enabled=cfg.localization_enabled,
+            localization_window=cfg.localization_window_size,
+            target_tdoa_index=cfg.num_tdoas / 2.0,
+        )
+        self._processor: RTGCCNMFProcessor | None = None
+        self._state = None
+        self._block_times: list[float] = []
+        self._last_log = time.perf_counter()
+
+        hist = cfg.num_tdoa_history
+        spec_hist = cfg.num_spectrogram_history
+        self.histories = {
+            "gcc_phat": CircularBuffer(cfg.num_tdoas, hist),
+            "tdoa": CircularBuffer((), hist),
+            "input_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
+            "output_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
+            "coefficient_mask": CircularBuffer(cfg.dictionary_size, spec_hist),
+        }
+
+    # ----------------------------------------------------------- dictionary
+
+    def _get_dictionary(self) -> np.ndarray:
+        if self._dictionaries is None:
+            self._dictionaries = {}
+        bank = self._dictionaries.setdefault(self.dictionary_type, {})
+        if self.dictionary_size not in bank:
+            # fetch lazily, one size at a time — switching sizes later only
+            # trains/loads what is actually used (the reference pretrains
+            # every size up front, gccNMFPretraining.py:43-58)
+            trained = pretrain.get_dictionaries(
+                self.config.window_size, sizes=(self.dictionary_size,)
+            )
+            for dict_type, sizes in trained.items():
+                self._dictionaries.setdefault(dict_type, {}).update(sizes)
+        return self._dictionaries[self.dictionary_type][self.dictionary_size]
+
+    @property
+    def processor(self) -> RTGCCNMFProcessor:
+        if self._processor is None:
+            cfg = self.config
+            self._processor = RTGCCNMFProcessor(
+                self._get_dictionary(),
+                StreamConfig(
+                    sample_rate=cfg.sample_rate,
+                    window_size=cfg.window_size,
+                    hop_size=cfg.hop_size,
+                    block_size=cfg.block_size,
+                    num_tdoas=cfg.num_tdoas,
+                    mic_separation_m=cfg.microphone_separation_in_metres,
+                    num_channels=cfg.num_channels,
+                    history_length=cfg.num_tdoa_history,
+                ),
+            )
+            self._state = self._processor.init_state(1)
+        return self._processor
+
+    # ----------------------------------------------------- parameter control
+
+    def set_target_window(
+        self,
+        target_tdoa_index: float | None = None,
+        epsilon: float | None = None,
+        beta: float | None = None,
+        noise_floor: float | None = None,
+    ) -> None:
+        """Hot path: mask-window slider updates; no recompilation
+        (reference gccNMFProcessor.py:106-125, setTargetTDOARange)."""
+        import jax.numpy as jnp
+
+        p = self.params
+        if target_tdoa_index is not None:
+            p = p._replace(target_tdoa_index=jnp.float32(target_tdoa_index))
+        if epsilon is not None:
+            p = p._replace(target_epsilon=jnp.float32(epsilon))
+        if beta is not None:
+            p = p._replace(target_beta=jnp.float32(beta))
+        if noise_floor is not None:
+            p = p._replace(noise_floor=jnp.float32(noise_floor))
+        self.params = p
+
+    def set_separation_enabled(self, enabled: bool) -> None:
+        import jax.numpy as jnp
+
+        self.params = self.params._replace(
+            separation_enabled=jnp.asarray(enabled, bool)
+        )
+
+    def set_localization(self, enabled: bool, window_size: int | None = None) -> None:
+        import jax.numpy as jnp
+
+        p = self.params._replace(localization_enabled=jnp.asarray(enabled, bool))
+        if window_size is not None:
+            p = p._replace(localization_window=jnp.int32(window_size))
+        self.params = p
+
+    def set_dictionary(self, size: int | None = None, type: str | None = None) -> None:
+        """Slow path: structural change → rebuild engine + reset state
+        (reference gccNMFProcessor.py:127-157)."""
+        if size is not None:
+            self.dictionary_size = size
+            self.config = dc_replace(self.config, dictionary_size=size)
+            self.histories["coefficient_mask"] = CircularBuffer(
+                size, self.config.num_spectrogram_history
+            )
+        if type is not None:
+            self.dictionary_type = type
+        self._processor = None  # lazy rebuild on next block
+        self._state = None
+
+    # ------------------------------------------------------------------ run
+
+    def _update_histories(self, telemetry: dict) -> None:
+        self.histories["gcc_phat"].set(np.asarray(telemetry["gcc_phat"][0]))
+        self.histories["tdoa"].set(
+            np.repeat(
+                np.asarray(telemetry["target_tdoa_index"][0]),
+                telemetry["gcc_phat"].shape[1],
+            )
+        )
+        self.histories["input_spectrogram"].set(np.asarray(telemetry["input_mag"][0]))
+        self.histories["output_spectrogram"].set(np.asarray(telemetry["output_mag"][0]))
+        self.histories["coefficient_mask"].set(
+            np.asarray(telemetry["coefficient_mask"][0])
+        )
+
+    def _log_block_times(self) -> None:
+        now = time.perf_counter()
+        if now - self._last_log >= _TELEMETRY_LOG_INTERVAL_S and self._block_times:
+            times = np.asarray(self._block_times) * 1e3
+            logger.info(
+                "processing times (ms): min %.2f / avg %.2f / max %.2f over %d blocks",
+                times.min(),
+                times.mean(),
+                times.max(),
+                len(times),
+            )
+            self._block_times.clear()
+            self._last_log = now
+
+    def process_block(self, block: np.ndarray) -> np.ndarray:
+        """Process one (C, block_size) block through the engine."""
+        import jax.numpy as jnp
+
+        proc = self.processor
+        t0 = time.perf_counter()
+        self._state, out, telemetry = proc.step(
+            self._state, jnp.asarray(block[None]), self.params
+        )
+        out_np = np.asarray(out[0])
+        self._block_times.append(time.perf_counter() - t0)
+        self._update_histories({k: np.asarray(v) for k, v in telemetry.items()})
+        self._log_block_times()
+        return out_np
+
+    def run(
+        self,
+        output_path: str | None = None,
+        num_blocks: int | None = None,
+        loop: bool = False,
+        realtime: bool = False,
+    ) -> dict:
+        """Stream the source file through the enhancer.
+
+        Returns stats: blocks processed, per-block wall-time percentiles,
+        deadline misses, and the output path (if a sink was used).
+        """
+        cfg = self.config
+        source = FilePlayerSource(
+            self.audio_path, cfg.block_size, loop=loop, realtime=realtime
+        )
+        if source.sample_rate != cfg.sample_rate:
+            self.config = dc_replace(self.config, sample_rate=source.sample_rate)
+            self._processor = None
+        sink = WavSink(output_path, source.sample_rate) if output_path else None
+
+        deadline = cfg.block_size / source.sample_rate
+        times: list[float] = []
+        count = 0
+        for block in source.blocks():
+            t0 = time.perf_counter()
+            out = self.process_block(block)
+            times.append(time.perf_counter() - t0)
+            if sink is not None:
+                sink.write(out)
+            count += 1
+            if num_blocks is not None and count >= num_blocks:
+                break
+
+        stats = dict(
+            blocks=count,
+            p50_ms=round(float(np.percentile(times, 50)) * 1e3, 3) if times else None,
+            p99_ms=round(float(np.percentile(times, 99)) * 1e3, 3) if times else None,
+            deadline_ms=round(deadline * 1e3, 3),
+            deadline_misses=int(np.sum(np.asarray(times) > deadline)) if times else 0,
+        )
+        if sink is not None:
+            stats["output"] = sink.close()
+        return stats

@@ -129,6 +129,25 @@ class TestCLI:
         # 512-sample block = 40 ms total, well under the symmetric 96 ms.
         assert info["algorithmic_latency_ms"] == pytest.approx(40.0)
 
+    def test_realtime_cli(self, wav_file, tmp_path, capsys, monkeypatch):
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.realtime_main(
+            ["-i", path, "-c", str(cfgp), "-o", str(tmp_path / "rt.wav"),
+             "--blocks", "8", "--no-gui"]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert info["blocks"] == 8
+        assert os.path.exists(info["output"])
+        assert info["deadline_ms"] == pytest.approx(32.0)
+
     def test_enhance_cli_online(self, wav_file, tmp_path, capsys, monkeypatch):
         from gccnmf_tpu import cli
 

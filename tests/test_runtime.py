@@ -1,0 +1,251 @@
+"""Tests for the realtime runtime (buffers, audio sources, app shell),
+viz helpers, and NMF checkpointing."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from gccnmf_tpu.realtime.buffers import CircularBuffer
+
+
+class TestCircularBuffer:
+    def test_append_and_get(self):
+        buf = CircularBuffer(3, size=4)
+        buf.set(np.array([1.0, 1, 1]))
+        buf.set(np.array([2.0, 2, 2]))
+        assert buf.num_values == 2
+        got = buf.get()
+        np.testing.assert_array_equal(got[:, 0], [1, 2])
+
+    def test_wraparound(self):
+        buf = CircularBuffer((), size=3)
+        for i in range(5):
+            buf.set(np.float32(i))
+        np.testing.assert_array_equal(buf.get(), [2, 3, 4])
+        np.testing.assert_array_equal(buf.get_unraveled(), [2, 3, 4])
+
+    def test_batch_append(self):
+        buf = CircularBuffer(2, size=4)
+        buf.set(np.arange(6, dtype=np.float32).reshape(3, 2))
+        buf.set(np.arange(10, 14, dtype=np.float32).reshape(2, 2))
+        got = buf.get(3)
+        np.testing.assert_array_equal(got[-1], [12, 13])
+        assert buf.num_values == 4
+
+    def test_oversize_batch(self):
+        buf = CircularBuffer((), size=3)
+        buf.set(np.arange(7, dtype=np.float32))
+        np.testing.assert_array_equal(buf.get(), [4, 5, 6])
+
+    def test_get_unraveled_includes_zeros(self):
+        buf = CircularBuffer((), size=4)
+        buf.set(np.float32(9))
+        unr = buf.get_unraveled()
+        assert unr.shape == (4,)
+        assert unr[-1] == 9 and unr[0] == 0
+
+
+class TestAudio:
+    def test_file_player_blocks(self, tmp_path, stereo_signal):
+        from gccnmf_tpu.realtime.audio import FilePlayerSource
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "a.wav")
+        wavio.write_wav(mix, path, sr)
+        src = FilePlayerSource(path, block_size=512)
+        blocks = list(src.blocks())
+        assert len(blocks) == mix.shape[-1] // 512
+        assert blocks[0].shape == (2, 512)
+        rebuilt = np.concatenate(blocks, axis=-1)
+        np.testing.assert_allclose(
+            rebuilt, mix[:, : rebuilt.shape[-1]], atol=2e-4
+        )
+
+    def test_file_player_loop(self, tmp_path, stereo_signal):
+        from gccnmf_tpu.realtime.audio import FilePlayerSource
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "a.wav")
+        wavio.write_wav(mix[:, : 512 * 3], path, sr)
+        src = FilePlayerSource(path, block_size=512, loop=True)
+        it = src.blocks()
+        got = [next(it) for _ in range(7)]  # wraps past 3-block file twice
+        np.testing.assert_allclose(got[0], got[3], atol=1e-7)
+
+    def test_wav_sink(self, tmp_path):
+        from gccnmf_tpu.realtime.audio import WavSink
+        from gccnmf_tpu.utils import wav as wavio
+
+        sink = WavSink(str(tmp_path / "o.wav"), 16000)
+        sink.write(np.ones((2, 512), np.float32) * 0.5)
+        sink.write(np.ones((2, 512), np.float32) * -0.5)
+        path = sink.close()
+        out, sr = wavio.read_wav(path)
+        assert out.shape == (2, 1024) and sr == 16000
+
+
+class TestRealtimeApp:
+    @pytest.fixture()
+    def app(self, tmp_path, stereo_signal):
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "mix.wav")
+        wavio.write_wav(mix, path, sr)
+        rng = np.random.default_rng(0)
+        w16 = rng.random((513, 16)).astype(np.float32) + 1e-3
+        w8 = rng.random((513, 8)).astype(np.float32) + 1e-3
+        cfg = load_config(None, dictionary_size=16, dictionary_sizes=(8, 16))
+        return RealtimeGCCNMF(
+            path,
+            config=cfg,
+            dictionaries={"Pretrained": {16: w16, 8: w8}},
+        )
+
+    def test_run_headless(self, app, tmp_path):
+        out = str(tmp_path / "enh.wav")
+        stats = app.run(output_path=out, num_blocks=12)
+        assert stats["blocks"] == 12
+        assert os.path.exists(stats["output"])
+        assert stats["deadline_ms"] == pytest.approx(32.0)
+        # histories were populated
+        assert app.histories["gcc_phat"].num_values > 0
+        assert app.histories["input_spectrogram"].num_values > 0
+
+    def test_hot_param_update_no_rebuild(self, app):
+        app.run(num_blocks=2)
+        proc_before = app.processor
+        app.set_target_window(target_tdoa_index=10.0, epsilon=3.0)
+        app.set_separation_enabled(False)
+        app.set_localization(False)
+        app.run(num_blocks=2)
+        assert app.processor is proc_before  # fast path: same engine
+
+    def test_dictionary_change_rebuilds(self, app):
+        app.run(num_blocks=2)
+        proc_before = app.processor
+        app.set_dictionary(size=8)
+        app.run(num_blocks=2)
+        assert app.processor is not proc_before
+        assert app.processor.w.shape[1] == 8
+        assert app.histories["coefficient_mask"]._values.shape[1] == 8
+
+    def test_block_time_logging(self, app, caplog):
+        import gccnmf_tpu.realtime.app as app_mod
+
+        app_mod_interval = app_mod._TELEMETRY_LOG_INTERVAL_S
+        try:
+            app_mod._TELEMETRY_LOG_INTERVAL_S = 0.0
+            with caplog.at_level(logging.INFO, logger="gccnmf_tpu.realtime.app"):
+                app.run(num_blocks=3)
+            assert any("processing times" in r.message for r in caplog.records)
+        finally:
+            app_mod._TELEMETRY_LOG_INTERVAL_S = app_mod_interval
+
+
+class TestViz:
+    def test_plots_render(self, stereo_signal, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        from gccnmf_tpu import viz
+
+        mix, sr = stereo_signal
+        rng = np.random.default_rng(0)
+        spec = rng.random((50, 513)).astype(np.float32)
+        ang = rng.random((50, 64)).astype(np.float32)
+        w = rng.random((513, 16)).astype(np.float32)
+        h = rng.random((50, 16)).astype(np.float32)
+
+        viz.plot_waveform(mix, sr)
+        plt.close("all")
+        viz.plot_spectrogram(spec, sr, 512)
+        plt.close("all")
+        viz.plot_angular_spectrogram(ang, sr, 512)
+        plt.close("all")
+        viz.plot_localization(ang.mean(0), target_indexes=[10, 40])
+        plt.close("all")
+        fig = viz.plot_nmf_decomposition(w, h)
+        fig.savefig(str(tmp_path / "nmf.png"))
+        plt.close("all")
+        masks = (rng.random((2, 50, 16)) > 0.5).astype(np.float32)
+        viz.plot_coefficient_masks(masks)
+        plt.close("all")
+
+    def test_describe_printers(self, stereo_signal, capsys):
+        from gccnmf_tpu import viz
+
+        mix, sr = stereo_signal
+        viz.describe_mixture_signal(mix, sr)
+        viz.describe_spectrogram(np.zeros((10, 513), np.complex64), 1024, 512)
+        w = np.ones((513, 4), np.float32)
+        w /= np.linalg.norm(w, axis=0)
+        viz.describe_nmf(w, np.ones((10, 4)))
+        out = capsys.readouterr().out
+        assert "mixture:" in out and "spectrogram:" in out and "NMF:" in out
+
+
+class TestCheckpoint:
+    def _problem(self):
+        rng = np.random.default_rng(3)
+        v = (rng.random((40, 33)) + 0.05).astype(np.float32)
+        from gccnmf_tpu.ops import nmf as nmf_ops
+
+        w0, h0 = nmf_ops.nmf_init_numpy(33, 8, 40)
+        return v, w0, h0
+
+    def test_checkpointed_matches_straight_run(self, tmp_path):
+        from gccnmf_tpu import checkpoint
+        from gccnmf_tpu.ops import nmf as nmf_ops
+
+        v, w0, h0 = self._problem()
+        w_ref, h_ref = nmf_ops.kl_nmf(v, w0, h0, 20)
+        w_ck, h_ck = checkpoint.kl_nmf_checkpointed(
+            v, w0, h0, 20, str(tmp_path / "ck"), checkpoint_every=7
+        )
+        np.testing.assert_allclose(np.asarray(w_ck), np.asarray(w_ref), rtol=2e-4)
+
+    def test_resume_after_interruption(self, tmp_path):
+        from gccnmf_tpu import checkpoint
+
+        v, w0, h0 = self._problem()
+        ck = str(tmp_path / "ck")
+        # "interrupted" run: only 10 of 20 iterations
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 10, ck, checkpoint_every=5)
+        # disguise as a 20-iteration run's partial state
+        w10, h10, it = checkpoint.load_nmf_state(checkpoint.latest_checkpoint(ck))
+        assert it == 10
+        # resume toward 20: must continue (2 more chunks), not restart
+        ck2 = str(tmp_path / "ck2")
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 20, ck2, checkpoint_every=10)
+        files = sorted(f for f in os.listdir(ck2) if f.endswith(".npz"))
+        assert files == ["nmf_000010.npz", "nmf_000020.npz"]
+        w_final1, _, _ = checkpoint.load_nmf_state(
+            os.path.join(ck2, "nmf_000020.npz")
+        )
+        # rerunning the finished job is a no-op (resumes at 20, loop exits)
+        w_re, _ = checkpoint.kl_nmf_checkpointed(
+            v, w0, h0, 20, ck2, checkpoint_every=10
+        )
+        np.testing.assert_array_equal(np.asarray(w_re), w_final1)
+
+    def test_mismatched_meta_rejected(self, tmp_path):
+        from gccnmf_tpu import checkpoint
+
+        v, w0, h0 = self._problem()
+        ck = str(tmp_path / "ck")
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 5, ck, checkpoint_every=5)
+        path = checkpoint.latest_checkpoint(ck)
+        with pytest.raises(ValueError, match="different problem"):
+            checkpoint.load_nmf_state(
+                path, expect_meta=dict(num_iterations=99, sparsity_alpha=0.0,
+                                       v_shape=[40, 33])
+            )
