@@ -104,8 +104,9 @@ def kl_nmf_checkpointed(
     """
     from gccnmf_tpu.ops import nmf as nmf_ops
 
+    # the fingerprint identifies the *problem*, not the run: the iteration
+    # target may legitimately grow between runs (resume-and-train-further)
     meta = dict(
-        num_iterations=num_iterations,
         sparsity_alpha=sparsity_alpha,
         v_shape=list(np.asarray(v).shape),
     )

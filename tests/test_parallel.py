@@ -93,3 +93,50 @@ class TestShardedNMF:
         # different data (190 vs 192 rows) but same scale of solution
         assert np.isfinite(np.asarray(w_pad)).all()
         np.testing.assert_allclose((np.asarray(w_pad) ** 2).sum(0), 1.0, rtol=1e-4)
+
+
+class TestDistributedTrainer:
+    def test_fit_matches_single_device(self, tmp_path):
+        import jax
+        from gccnmf_tpu.ops import nmf as nmf_ops
+        from gccnmf_tpu.parallel import mesh as mesh_lib
+        from gccnmf_tpu.parallel.trainer import DistributedNMFTrainer
+
+        rng = np.random.default_rng(7)
+        v = (rng.random((64, 33)) + 0.05).astype(np.float32)
+        mesh = mesh_lib.make_mesh(data=4, model=2, devices=jax.devices()[:8])
+        trainer = DistributedNMFTrainer(
+            mesh, dictionary_size=8, num_iterations=12, checkpoint_every=5,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        w = trainer.fit(v)
+        w0, h0 = nmf_ops.nmf_init_numpy(33, 8, 64)
+        w_ref, _ = nmf_ops.kl_nmf(v, w0, h0, 12)
+        np.testing.assert_allclose(w, np.asarray(w_ref), rtol=2e-3, atol=2e-5)
+
+    def test_resume_continues(self, tmp_path):
+        import os as _os
+
+        import jax
+        from gccnmf_tpu.parallel import mesh as mesh_lib
+        from gccnmf_tpu.parallel.trainer import DistributedNMFTrainer
+
+        rng = np.random.default_rng(8)
+        v = (rng.random((32, 17)) + 0.05).astype(np.float32)
+        mesh = mesh_lib.make_mesh(data=2, model=1, devices=jax.devices()[:2])
+        ck = str(tmp_path / "ck")
+        kw = dict(dictionary_size=4, checkpoint_every=4, checkpoint_dir=ck)
+        # interrupted run: stop after 4 of 8 iterations
+        DistributedNMFTrainer(mesh, num_iterations=4, **kw).fit(v)
+        assert _os.path.exists(_os.path.join(ck, "nmf_000004.npz"))
+        # full-length run resumes from iteration 4 rather than restarting
+        w_resumed = DistributedNMFTrainer(mesh, num_iterations=8, **kw).fit(v)
+        files = sorted(f for f in _os.listdir(ck) if f.endswith(".npz"))
+        assert files == ["nmf_000004.npz", "nmf_000008.npz"]
+        # equals an uninterrupted 8-iteration run
+        ck2 = str(tmp_path / "ck2")
+        w_straight = DistributedNMFTrainer(
+            mesh, num_iterations=8, dictionary_size=4,
+            checkpoint_every=8, checkpoint_dir=ck2,
+        ).fit(v)
+        np.testing.assert_allclose(w_resumed, w_straight, rtol=1e-5)

@@ -220,20 +220,19 @@ class TestCheckpoint:
         ck = str(tmp_path / "ck")
         # "interrupted" run: only 10 of 20 iterations
         checkpoint.kl_nmf_checkpointed(v, w0, h0, 10, ck, checkpoint_every=5)
-        # disguise as a 20-iteration run's partial state
         w10, h10, it = checkpoint.load_nmf_state(checkpoint.latest_checkpoint(ck))
         assert it == 10
-        # resume toward 20: must continue (2 more chunks), not restart
-        ck2 = str(tmp_path / "ck2")
-        checkpoint.kl_nmf_checkpointed(v, w0, h0, 20, ck2, checkpoint_every=10)
-        files = sorted(f for f in os.listdir(ck2) if f.endswith(".npz"))
-        assert files == ["nmf_000010.npz", "nmf_000020.npz"]
-        w_final1, _, _ = checkpoint.load_nmf_state(
-            os.path.join(ck2, "nmf_000020.npz")
-        )
+        # resume toward a HIGHER target in the same dir: continues from 10
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 20, ck, checkpoint_every=5)
+        files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
+        assert files == [
+            "nmf_000005.npz", "nmf_000010.npz",
+            "nmf_000015.npz", "nmf_000020.npz",
+        ]
+        w_final1, _, _ = checkpoint.load_nmf_state(os.path.join(ck, "nmf_000020.npz"))
         # rerunning the finished job is a no-op (resumes at 20, loop exits)
         w_re, _ = checkpoint.kl_nmf_checkpointed(
-            v, w0, h0, 20, ck2, checkpoint_every=10
+            v, w0, h0, 20, ck, checkpoint_every=5
         )
         np.testing.assert_array_equal(np.asarray(w_re), w_final1)
 
@@ -246,6 +245,5 @@ class TestCheckpoint:
         path = checkpoint.latest_checkpoint(ck)
         with pytest.raises(ValueError, match="different problem"):
             checkpoint.load_nmf_state(
-                path, expect_meta=dict(num_iterations=99, sparsity_alpha=0.0,
-                                       v_shape=[40, 33])
+                path, expect_meta=dict(sparsity_alpha=0.5, v_shape=[40, 33])
             )
