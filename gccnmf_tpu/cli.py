@@ -245,8 +245,11 @@ def realtime_main(argv=None):
     ap.add_argument("-c", "--config", default=None, help="INI config file")
     ap.add_argument("-o", "--output", default=None, help="output WAV path")
     ap.add_argument("--no-gui", action="store_true",
-                    help="accepted for reference-CLI compatibility; this "
-                         "build is always headless")
+                    help="accepted for reference-CLI compatibility; headless "
+                         "is the default")
+    ap.add_argument("--gui", action="store_true",
+                    help="open the interactive tkinter/matplotlib window "
+                         "(requires a display)")
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop after N blocks (default: whole file)")
     ap.add_argument("--loop", action="store_true", help="loop the input file")
@@ -256,6 +259,11 @@ def realtime_main(argv=None):
     args = ap.parse_args(argv)
     if args.verbose:
         logging.basicConfig(level=logging.INFO)
+    if args.gui:
+        from gccnmf_tpu.gui import run_gui
+
+        run_gui(args.input, args.config, loop=args.loop or True)
+        return 0
     if args.loop and args.blocks is None:
         ap.error("--loop requires --blocks (otherwise the run never ends)")
 
