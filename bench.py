@@ -64,6 +64,24 @@ def _load_audio():
     return stereo.astype(np.float32), sr, "synthetic"
 
 
+def _fence(out):
+    """Force completion of a computation with a 1-element host fetch.
+
+    ``block_until_ready`` alone has been observed returning early through
+    the axon TPU tunnel (sub-ms "timings" for programs that provably move
+    hundreds of MB); fetching one element cannot complete until the
+    producing program has."""
+    import jax
+
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    # rank-1 single-element fetch (rank-0 and complex transfers are not
+    # supported by the axon backend)
+    elem = leaf[(0,) * (leaf.ndim - 1)][:1] if leaf.ndim else leaf.reshape(1)
+    np.asarray(jnp.abs(elem) if jnp.iscomplexobj(elem) else elem)
+
+
 def _offline_cfg(sr, quick):
     from gccnmf_tpu.models.offline import OfflineConfig
 
@@ -102,11 +120,11 @@ def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     h0b = jnp.broadcast_to(jnp.asarray(h0), (batch,) + h0.shape)
 
     est, targets = sep._separate_batch_jit(dev_in, w0b, h0b, 3)  # compile
-    jax.block_until_ready((est, targets))
+    _fence((est, targets))
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = sep._separate_batch_jit(dev_in, w0b, h0b, 3)
-        jax.block_until_ready(out)
+        _fence(out)
     elapsed = time.perf_counter() - t0
     audio_seconds = batch * repeats * stereo.shape[-1] / sr
     device_thr = audio_seconds / elapsed
@@ -151,10 +169,10 @@ def bench_streaming(sr, host_steps: int = 30):
     nb = blocks.shape[0]
     state = proc.init_state(1)
     _, outs = proc.scan_blocks(state, blocks, params)  # compile
-    outs.block_until_ready()
+    _fence(outs)
     t0 = time.perf_counter()
     _, outs = proc.scan_blocks(state, blocks, params)
-    outs.block_until_ready()
+    _fence(outs)
     scan_s = time.perf_counter() - t0
     device_ms = scan_s / nb * 1e3
     rt_factor = (nb * cfg.block_size / sr) / scan_s
@@ -163,12 +181,12 @@ def bench_streaming(sr, host_steps: int = 30):
     state = proc.init_state(1)
     block = blocks[0]
     st, out, _ = proc.step(state, block, params)
-    out.block_until_ready()
+    _fence(out)
     times = []
     for _ in range(host_steps):
         t0 = time.perf_counter()
         st, out, _ = proc.step(st, block, params)
-        out.block_until_ready()
+        _fence(out)
         times.append(time.perf_counter() - t0)
     return device_ms, float(np.percentile(times, 50) * 1e3), rt_factor
 

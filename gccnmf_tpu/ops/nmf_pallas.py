@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused KL-NMF multiplicative-update loop.
+
+The XLA formulation (:func:`gccnmf_tpu.ops.nmf.kl_nmf`) streams V, Q and
+W·H through HBM every iteration (~30 MB per iteration per problem at the
+reference's offline shape), which makes the 100-iteration loop
+bandwidth-bound. This kernel keeps the whole problem resident in VMEM —
+V ``(T, F)``, W ``(F, K)``, H ``(T, K)`` all fit comfortably for the
+reference configuration (T≈2500, F=513, K=128 ⇒ ≈8 MB) — and runs every
+iteration out of on-chip memory: HBM is touched exactly once on the way
+in and once on the way out.
+
+Grid: one program per batch element (the offline pipeline vmaps over
+utterances). Shapes are padded host-side to TPU tile multiples
+(T → ×8, F → ×128, K → ×128) with ``epsilon`` magnitudes so the
+multiplicative updates stay strictly positive (exact zeros would produce
+0/0 in the V/WH ratio); the padding columns/rows carry ~epsilon² weight
+and are sliced off on return.
+
+Update rules and atom renormalization follow the reference exactly
+(reference: gccNMF/gccNMFFunctions.py:69-83); parity with the XLA path is
+tested to ~1e-5 relative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["kl_nmf_pallas", "pad_to_multiple"]
+
+
+def pad_to_multiple(x: np.ndarray | jax.Array, axis: int, multiple: int,
+                    value: float):
+    """Pad ``axis`` up to the next multiple of ``multiple`` with ``value``."""
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value), size
+
+
+def _nmf_kernel(num_iterations, sparsity_alpha, epsilon,
+                v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    v = v_ref[:]
+
+    # ε-padded rows/columns underflow to exact 0 over iterations; naive
+    # guards like ``maximum(x, tiny)`` are defeated by XLA algebraic
+    # rewrites under jit (e.g. a/max(sqrt(s),t) → a·rsqrt(s), rsqrt(0)=inf
+    # → 0·inf=NaN). The double-where pattern survives rewrites: degenerate
+    # denominators take an explicit 0 branch, never an inf. Real (unpadded)
+    # rows never hit the 0 branch, so results there are bit-identical.
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def body(_, wh):
+        w, h = wh
+        # H update
+        q = safe_div(v, jnp.dot(h, w.T, preferred_element_type=jnp.float32))
+        h = h * jnp.dot(q, w, preferred_element_type=jnp.float32) / (
+            jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
+        )
+        # W update
+        q = safe_div(v, jnp.dot(h, w.T, preferred_element_type=jnp.float32))
+        num = jnp.dot(q.T, h, preferred_element_type=jnp.float32)  # (F, K)
+        w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
+        # per-atom unit-L2 renorm, H compensated
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms
+
+    w, h = jax.lax.fori_loop(
+        0, num_iterations, body, (w0_ref[:], h0_ref[:])
+    )
+    w_out_ref[:] = w
+    h_out_ref[:] = h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "sparsity_alpha", "epsilon", "interpret"),
+)
+def kl_nmf_pallas(
+    v: jax.Array,
+    w0: jax.Array,
+    h0: jax.Array,
+    num_iterations: int,
+    sparsity_alpha: float = 0.0,
+    epsilon: float = 1e-16,
+    interpret: bool = False,
+):
+    """Fused-VMEM KL-NMF. ``v``: (..., T, F); ``w0``: (..., F, K);
+    ``h0``: (..., T, K); leading batch dims are mapped to the Pallas grid.
+    Returns (W, H) matching :func:`gccnmf_tpu.ops.nmf.kl_nmf`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = v.shape[:-2]
+    t, f = v.shape[-2:]
+    k = w0.shape[-1]
+    v2 = v.reshape((-1, t, f)).astype(jnp.float32)
+    w2 = w0.reshape((-1, f, k)).astype(jnp.float32)
+    h2 = h0.reshape((-1, t, k)).astype(jnp.float32)
+    b = v2.shape[0]
+
+    # pad to TPU tile multiples with epsilon (strict positivity)
+    v2, _ = pad_to_multiple(v2, 1, 8, epsilon)
+    v2, _ = pad_to_multiple(v2, 2, 128, epsilon)
+    w2, _ = pad_to_multiple(w2, 1, 128, epsilon)
+    w2, _ = pad_to_multiple(w2, 2, 128, epsilon)
+    h2, _ = pad_to_multiple(h2, 1, 8, epsilon)
+    h2, _ = pad_to_multiple(h2, 2, 128, epsilon)
+    tp, fp = v2.shape[1:]
+    kp = w2.shape[2]
+
+    kernel = functools.partial(
+        _nmf_kernel, num_iterations, sparsity_alpha, epsilon
+    )
+    grid = (b,)
+    spec3 = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_out, h_out = pl.pallas_call(
+        lambda v_r, w_r, h_r, wo_r, ho_r: kernel(
+            v_r.at[0], w_r.at[0], h_r.at[0], wo_r.at[0], ho_r.at[0]
+        ),
+        grid=grid,
+        in_specs=[spec3((tp, fp)), spec3((fp, kp)), spec3((tp, kp))],
+        out_specs=(spec3((fp, kp)), spec3((tp, kp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, kp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_iterations * tp * fp * kp,
+            bytes_accessed=4 * b * (tp * fp + 2 * (fp * kp + tp * kp)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(v2, w2, h2)
+    w_res = w_out[:, :f, :k].reshape(*batch, f, k)
+    h_res = h_out[:, :t, :k].reshape(*batch, t, k)
+    return w_res, h_res

@@ -20,13 +20,19 @@ Reference semantics replicated behind flags:
   behavior (librosaSTFT.py:283-284) that the offline pipeline hits via
   getTargetSignalEstimates (gccNMFFunctions.py:161).
 
-Two compute paths:
+Three compute paths:
 
 - ``method="fft"``: XLA's native FFT.
 - ``method="matmul"``: the real DFT as two f32 GEMMs against precomputed
   cos/sin matrices — more FLOPs but rides the MXU, which on TPU is often
   faster than the FFT lowering for these small (1024-point) transforms,
   and fuses with the surrounding windowing/masking elementwise work.
+- ``method="conv"``: framing + windowing + real DFT fused into ONE strided
+  convolution (filters = window ⊙ cos/sin DFT rows, stride = hop). This
+  avoids materializing the (…, T, window) frame tensor entirely and maps
+  straight onto the MXU's native convolution path — the TPU-canonical
+  formulation. The inverse (``istft method="conv"``) is the matching
+  transposed convolution, whose scatter-accumulate IS overlap-add.
 """
 
 from __future__ import annotations
@@ -96,6 +102,34 @@ def idft_matrices(fft_size: int, dtype=np.float32):
     return a, b
 
 
+def _stft_conv(y: jax.Array, window: jax.Array, hop_size: int, fft_size: int):
+    """Fused frame+window+rDFT as one strided conv on the MXU.
+
+    Filters are the windowed DFT basis rows: output channel ``f`` of the
+    first F channels is ``Σ_tap y[t*hop+tap]·window[tap]·cos(2π f tap/N)``,
+    channels F..2F the sin part. Returns (real, imag) of the
+    (non-conjugated) rfft, shapes ``(..., T, F)``.
+    """
+    cos_m, sin_m = dft_matrices(fft_size)  # (fft, F)
+    w = jnp.asarray(window, jnp.float32)[:, None]
+    filt = jnp.concatenate(
+        [jnp.asarray(cos_m) * w, jnp.asarray(sin_m) * w], axis=1
+    )  # (fft, 2F)
+    *batch, n = y.shape
+    lhs = y.reshape(-1, 1, n).astype(jnp.float32)  # (N, C=1, n)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        filt[:, None, :],  # (fft, 1, 2F) in HIO order below
+        window_strides=(hop_size,),
+        padding="VALID",
+        dimension_numbers=("NCH", "HIO", "NHC"),
+        precision=_HIGHEST,
+    )  # (N, T, 2F)
+    num_freq = fft_size // 2 + 1
+    out = out.reshape(*batch, out.shape[-2], 2 * num_freq)
+    return out[..., :num_freq], -out[..., num_freq:]
+
+
 def stft(
     y: jax.Array,
     window: jax.Array | np.ndarray,
@@ -113,6 +147,10 @@ def stft(
     window = jnp.asarray(window, jnp.float32)
     if fft_size is None:
         fft_size = window.shape[-1]
+    if method == "conv":
+        real, imag = _stft_conv(y, window, hop_size, fft_size)
+        spec = jax.lax.complex(real, imag)
+        return jnp.conj(spec) if conjugate else spec
     frames = frame_signal(y.astype(jnp.float32), fft_size, hop_size)
     frames = frames * window
     if method == "fft":
@@ -172,6 +210,31 @@ def istft(
     fft_size = 2 * (spec.shape[-1] - 1)
     if conjugate:
         spec = jnp.conj(spec)
+    if method == "conv":
+        a, b = idft_matrices(fft_size)  # (F, fft)
+        w_row = jnp.asarray(window, jnp.float32)[None, :]
+        filt = jnp.concatenate(
+            [jnp.asarray(a) * w_row, jnp.asarray(b) * w_row], axis=0
+        )  # (2F, fft)
+        *batch, t, f = spec.shape
+        lhs = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        lhs = lhs.reshape(-1, t, 2 * f)  # (N, T, 2F)
+        # transposed conv: the scatter-accumulate of windowed inverse-DFT
+        # frames at hop offsets IS overlap-add (tap axis flipped because
+        # conv_transpose convolves with the spatially-reversed kernel)
+        y = jax.lax.conv_transpose(
+            lhs,
+            jnp.flip(filt.T, axis=0)[:, :, None],  # (fft, 2F, 1) HIO
+            strides=(hop_size,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            precision=_HIGHEST,
+        )  # (N, n, 1)
+        y = y.reshape(*batch, -1)
+        if center_trim:
+            half = fft_size // 2
+            y = y[..., half:-half]
+        return y
     if method == "fft":
         frames = jnp.fft.irfft(spec, n=fft_size, axis=-1).astype(jnp.float32)
     elif method == "matmul":

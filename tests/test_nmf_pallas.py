@@ -1,0 +1,64 @@
+"""Pallas fused KL-NMF kernel: parity with the XLA path (interpret mode on
+the CPU test platform; the compiled path is exercised on TPU by bench)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gccnmf_tpu.ops import nmf
+from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas, pad_to_multiple
+
+
+class TestPallasNMF:
+    def _problem(self, t=48, f=33, k=8, seed=0):
+        rng = np.random.default_rng(seed)
+        v = (rng.random((t, f)) + 0.05).astype(np.float32)
+        w0, h0 = nmf.nmf_init_numpy(f, k, t)
+        return v, w0, h0
+
+    def test_matches_xla_path(self):
+        v, w0, h0 = self._problem()
+        w_ref, h_ref = nmf.kl_nmf(v, w0, h0, 15)
+        w_p, h_p = kl_nmf_pallas(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 15, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-4)
+
+    def test_batched(self):
+        v, w0, h0 = self._problem()
+        vb = jnp.stack([v, 1.5 * v])
+        wb = jnp.stack([w0, w0])
+        hb = jnp.stack([h0, h0])
+        w_p, h_p = kl_nmf_pallas(vb, wb, hb, 5, interpret=True)
+        assert w_p.shape == (2, 33, 8) and h_p.shape == (2, 48, 8)
+        # each batch element matches its own single run
+        w1, _ = nmf.kl_nmf(1.5 * v, w0, h0, 5)
+        np.testing.assert_allclose(np.asarray(w_p[1]), np.asarray(w1), rtol=1e-4)
+
+    def test_sparsity_alpha(self):
+        v, w0, h0 = self._problem()
+        w_ref, h_ref = nmf.kl_nmf(v, w0, h0, 8, sparsity_alpha=0.3)
+        w_p, h_p = kl_nmf_pallas(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 8,
+            sparsity_alpha=0.3, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-4)
+
+    def test_unpadded_tile_aligned_shapes(self):
+        """Shapes already tile-aligned take the no-pad path."""
+        v, w0, h0 = self._problem(t=16, f=128, k=128, seed=1)
+        w_ref, _ = nmf.kl_nmf(v, w0, h0, 3)
+        w_p, _ = kl_nmf_pallas(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 3, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref), rtol=1e-4)
+
+    def test_pad_to_multiple(self):
+        x = jnp.ones((5, 7))
+        y, orig = pad_to_multiple(x, 0, 8, 0.5)
+        assert y.shape == (8, 7) and orig == 5
+        assert float(y[5, 0]) == 0.5
+        z, orig2 = pad_to_multiple(x, 0, 5, 0.5)
+        assert z is x and orig2 == 5

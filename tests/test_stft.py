@@ -46,7 +46,7 @@ class TestWindows:
 
 
 class TestSTFT:
-    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    @pytest.mark.parametrize("method", ["fft", "matmul", "conv"])
     def test_matches_reference_stft(self, stereo_signal, method):
         mix, _ = stereo_signal
         w = win_ops.hann_symmetric(1024)
@@ -65,7 +65,7 @@ class TestSTFT:
         t = stft_ops.num_frames(mix.shape[-1], 1024, 128)
         assert spec.shape == (2, 2, t, 513)
 
-    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    @pytest.mark.parametrize("method", ["fft", "matmul", "conv"])
     def test_istft_matches_reference(self, stereo_signal, method):
         mix, _ = stereo_signal
         spec_ref = oracle.stft_ref(mix[0], 1024, 128)
