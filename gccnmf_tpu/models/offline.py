@@ -47,12 +47,31 @@ class OfflineConfig:
     sparsity_alpha: float = 0.0
     num_sources: int | None = 3
     sample_rate: int = 16000
-    stft_method: str = "fft"  # "fft" | "matmul"
+    stft_method: str = "auto"  # "auto" | "fft" | "matmul" | "conv"
+    nmf_backend: str = "auto"  # "auto" | "xla" | "pallas"
     epsilon: float = 1e-16
 
     @property
     def num_freq(self) -> int:
         return self.window_size // 2 + 1
+
+    def resolved_stft_method(self) -> str:
+        """'auto' → matmul on TPU (measured faster than the XLA FFT lowering
+        for 1024-point transforms, and it fuses with neighbors), fft on CPU."""
+        if self.stft_method != "auto":
+            return self.stft_method
+        import jax
+
+        return "matmul" if jax.default_backend() == "tpu" else "fft"
+
+    def resolved_nmf_backend(self) -> str:
+        """'auto' → the fused-VMEM Pallas kernel on TPU (~3x the XLA path),
+        XLA elsewhere (and wherever bit-parity with the oracle matters)."""
+        if self.nmf_backend != "auto":
+            return self.nmf_backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def stft_gain(cfg: OfflineConfig) -> float:
@@ -66,6 +85,8 @@ class GCCNMFSeparator:
 
     def __init__(self, config: OfflineConfig = OfflineConfig()):
         self.config = config
+        self._stft_method = config.resolved_stft_method()
+        self._nmf_backend = config.resolved_nmf_backend()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -81,13 +102,21 @@ class GCCNMFSeparator:
         """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang)."""
         cfg = self.config
         spec = stft_ops.stft(
-            stereo, self._window, cfg.hop_size, conjugate=True, method=cfg.stft_method
+            stereo, self._window, cfg.hop_size, conjugate=True,
+            method=self._stft_method,
         )  # (..., 2, T, F)
         # NMF trains on left‖right concatenated along time (runGCCNMF.py:40).
         v = jnp.concatenate([jnp.abs(spec[..., 0, :, :]), jnp.abs(spec[..., 1, :, :])], axis=-2)
-        w, h = nmf.kl_nmf(
-            v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
-        )
+        if self._nmf_backend == "pallas":
+            from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
+
+            w, h = kl_nmf_pallas(
+                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
+            )
+        else:
+            w, h = nmf.kl_nmf(
+                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
+            )
         coh = gcc.coherence(spec)
         ang = gcc.angular_spectrogram(coh, *self._cos_sin)
         return spec, w, h, coh, ang
@@ -114,7 +143,7 @@ class GCCNMFSeparator:
             cfg.hop_size,
             conjugate=True,
             center_trim=True,
-            method=cfg.stft_method,
+            method=self._stft_method,
         )
         return est * stft_gain(cfg), coef_masks
 
@@ -226,6 +255,7 @@ class GCCNMFEnhancer:
         self.target_beta = target_beta
         self.noise_floor = noise_floor
         self.num_h_updates = num_h_updates
+        self._stft_method = config.resolved_stft_method()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -238,7 +268,8 @@ class GCCNMFEnhancer:
     def _enhance_jit(self, stereo, target_eps, target_beta, noise_floor):
         cfg = self.config
         spec = stft_ops.stft(
-            stereo, self._window, cfg.hop_size, conjugate=True, method=cfg.stft_method
+            stereo, self._window, cfg.hop_size, conjugate=True,
+            method=self._stft_method,
         )  # (..., 2, T, F)
         coh = gcc.coherence(spec)
         ang = gcc.angular_spectrogram(coh, *self._cos_sin)  # (..., T, D)
@@ -273,7 +304,7 @@ class GCCNMFEnhancer:
             cfg.hop_size,
             conjugate=True,
             center_trim=True,
-            method=cfg.stft_method,
+            method=self._stft_method,
         )
         return out * stft_gain(cfg), target_idx, ang
 
