@@ -33,7 +33,7 @@ from dataclasses import replace as dc_replace
 
 import numpy as np
 
-from gccnmf_tpu import pretrain
+from gccnmf_tpu import native, pretrain
 from gccnmf_tpu.config import GCCNMFConfig, load_config
 from gccnmf_tpu.models.realtime import (
     RTGCCNMFProcessor,
@@ -80,7 +80,9 @@ class RealtimeGCCNMF:
         )
         self._processor: RTGCCNMFProcessor | None = None
         self._state = None
-        self._block_times: list[float] = []
+        # per-block wall-time telemetry in the native tier (lock-free window
+        # ring; reference logs the same min/avg/max, audioProcessor.py:98-102)
+        self._block_times = native.BlockTimes(capacity=256)
         self._last_log = time.perf_counter()
 
         hist = cfg.num_tdoa_history
@@ -201,17 +203,22 @@ class RealtimeGCCNMF:
 
     def _log_block_times(self) -> None:
         now = time.perf_counter()
-        if now - self._last_log >= _TELEMETRY_LOG_INTERVAL_S and self._block_times:
-            times = np.asarray(self._block_times) * 1e3
-            logger.info(
-                "processing times (ms): min %.2f / avg %.2f / max %.2f over %d blocks",
-                times.min(),
-                times.mean(),
-                times.max(),
-                len(times),
-            )
-            self._block_times.clear()
+        if now - self._last_log >= _TELEMETRY_LOG_INTERVAL_S:
+            mn, mx, mean, n = self._block_times.stats()
+            if n:
+                logger.info(
+                    "processing times (ms): min %.2f / avg %.2f / max %.2f"
+                    " over last %d blocks",
+                    mn * 1e3,
+                    mean * 1e3,
+                    mx * 1e3,
+                    n,
+                )
             self._last_log = now
+
+    def block_time_stats(self) -> tuple[float, float, float, int]:
+        """(min_s, max_s, mean_s, count) over the recent telemetry window."""
+        return self._block_times.stats()
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """Process one (C, block_size) block through the engine."""
@@ -223,7 +230,7 @@ class RealtimeGCCNMF:
             self._state, jnp.asarray(block[None]), self.params
         )
         out_np = np.asarray(out[0])
-        self._block_times.append(time.perf_counter() - t0)
+        self._block_times.record(time.perf_counter() - t0)
         self._update_histories({k: np.asarray(v) for k, v in telemetry.items()})
         self._log_block_times()
         return out_np

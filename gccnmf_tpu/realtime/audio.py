@@ -26,7 +26,7 @@ from gccnmf_tpu.utils import wav as wavio
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["FilePlayerSource", "WavSink", "open_output_stream"]
+__all__ = ["FilePlayerSource", "LiveRingSource", "WavSink", "open_output_stream"]
 
 
 class FilePlayerSource:
@@ -74,6 +74,78 @@ class FilePlayerSource:
 
     def seek(self, sample: int) -> None:
         self.position = int(sample)
+
+
+class LiveRingSource:
+    """Block source fed by a live audio callback through the native ring.
+
+    The producer side (an audio-device callback thread) calls
+    ``push_interleaved_pcm16(frames)`` or ``push_planar(block)``; the
+    consumer side (the DSP host loop) iterates ``blocks()``. The exchange
+    is the lock-free SPSC ring from the native runtime
+    (gccnmf_tpu/native/src/gccnmf_rt.cpp), replacing the reference's
+    shared-memory frame arrays + Event handshake
+    (runRealtimeGCCNMF.py:68-72, audioProcessor.py:118-122): the callback
+    never blocks on the DSP — if the DSP falls behind, blocks are dropped at
+    the ring (counted in ``overruns``) instead of stalling the device.
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        num_channels: int = 2,
+        block_size: int = 512,
+        capacity_blocks: int = 16,
+    ):
+        from gccnmf_tpu import native
+
+        self.sample_rate = sample_rate
+        self.num_channels = num_channels
+        self.block_size = block_size
+        self._samples_per_block = num_channels * block_size
+        self._ring = native.SpscRing(capacity_blocks * self._samples_per_block)
+        self.overruns = 0
+        self.closed = False
+
+    # ------------------------------------------------- producer (callback)
+
+    def push_interleaved_pcm16(self, frames: np.ndarray) -> bool:
+        """Push interleaved int16 device frames; False if the ring was full."""
+        from gccnmf_tpu import native
+
+        planar = native.deinterleave_pcm16(frames, self.num_channels)
+        return self.push_planar(planar)
+
+    def push_planar(self, block: np.ndarray) -> bool:
+        """Push a (num_channels, n) float32 block; False on overrun.
+
+        All-or-nothing: a partial write would desync channel framing, so the
+        whole block is dropped when the ring lacks space (the SPSC contract
+        makes the writable() check safe — only this thread ever writes).
+        """
+        flat = np.ascontiguousarray(block, np.float32).ravel()
+        if self._ring.writable() < flat.size:
+            self.overruns += 1
+            return False
+        self._ring.write(flat)
+        return True
+
+    def close(self) -> None:
+        self.closed = True
+
+    # --------------------------------------------------- consumer (DSP loop)
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        """Yield (num_channels, block_size) blocks; waits for the producer."""
+        n = self._samples_per_block
+        while True:
+            if self._ring.readable() < n:
+                if self.closed:
+                    return
+                time.sleep(0.001)
+                continue
+            flat = self._ring.read(n)
+            yield flat.reshape(self.num_channels, self.block_size)
 
 
 class WavSink:
