@@ -35,3 +35,52 @@ class TestMetrics:
         score, perm = metrics.permutation_invariant(refs, ests)
         assert perm == (2, 0, 1)
         assert score > 30
+
+
+class TestStoi:
+    def _speech_like(self, seconds=6, sr=16000, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * sr)) / sr
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)  # 4 Hz syllabic modulation
+        return rng.standard_normal(t.size) * env
+
+    def test_identity_is_one(self):
+        x = self._speech_like()
+        assert metrics.stoi(x, x, 16000) == pytest.approx(1.0, abs=1e-9)
+
+    def test_monotone_in_snr(self):
+        x = self._speech_like()
+        rng = np.random.default_rng(1)
+        scores = []
+        for snr_db in [20, 10, 0, -10]:
+            n = rng.standard_normal(x.size)
+            n *= np.linalg.norm(x) / np.linalg.norm(n) * 10 ** (-snr_db / 20)
+            scores.append(metrics.stoi(x, x + n, 16000))
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] > 0.95 and scores[-1] < 0.6
+
+    def test_scale_invariant(self):
+        x = self._speech_like()
+        rng = np.random.default_rng(2)
+        n = rng.standard_normal(x.size) * x.std() * 0.3
+        a = metrics.stoi(x, x + n, 16000)
+        b = metrics.stoi(x, 7.3 * (x + n), 16000)
+        assert a == pytest.approx(b, abs=1e-9)
+
+    def test_stereo_averages_channels(self):
+        x = self._speech_like()
+        stereo_ref = np.stack([x, x])
+        rng = np.random.default_rng(3)
+        n = rng.standard_normal(x.size) * x.std() * 0.5
+        stereo_est = np.stack([x + n, x])
+        got = metrics.stoi(stereo_ref, stereo_est, 16000)
+        expect = 0.5 * (metrics.stoi(x, x + n, 16000) + 1.0)
+        assert got == pytest.approx(expect, abs=1e-9)
+
+    def test_native_10k_skips_resample(self):
+        x = self._speech_like(sr=10000)
+        assert metrics.stoi(x, x, 10000) == pytest.approx(1.0, abs=1e-9)
+
+    def test_too_short_raises(self):
+        with pytest.raises(ValueError):
+            metrics.stoi(np.zeros(100), np.zeros(100), 16000)
