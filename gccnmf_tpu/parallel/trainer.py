@@ -19,6 +19,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gccnmf_tpu import checkpoint as ckpt
+from gccnmf_tpu.parallel import mesh as mesh_lib
 from gccnmf_tpu.parallel.nmf_sharded import kl_nmf_sharded, pad_time
 
 logger = logging.getLogger(__name__)
@@ -28,6 +29,18 @@ __all__ = ["DistributedNMFTrainer"]
 
 class DistributedNMFTrainer:
     """Resumable sharded KL-NMF dictionary training over a device mesh."""
+
+    @classmethod
+    def for_deployment(cls, model: int = 1, **kwargs) -> "DistributedNMFTrainer":
+        """Build a trainer on the global mesh of the current deployment.
+
+        Calls :func:`gccnmf_tpu.parallel.mesh.init_distributed` (a no-op
+        single-process) then lays the (data, model) mesh over every device
+        of every host — the one-liner entry point for pod-scale dictionary
+        training.
+        """
+        mesh_lib.init_distributed()
+        return cls(mesh_lib.multihost_mesh(model=model), **kwargs)
 
     def __init__(
         self,

@@ -140,3 +140,43 @@ class TestDistributedTrainer:
             checkpoint_every=8, checkpoint_dir=ck2,
         ).fit(v)
         np.testing.assert_allclose(w_resumed, w_straight, rtol=1e-5)
+
+
+def test_init_distributed_single_process_noop():
+    """Without a coordinator, init_distributed is a no-op returning index 0."""
+    from gccnmf_tpu.parallel import mesh as mesh_lib
+
+    assert mesh_lib.init_distributed() == 0
+    import jax
+
+    assert jax.process_count() == 1
+
+
+def test_multihost_mesh_shapes():
+    from gccnmf_tpu.parallel import mesh as mesh_lib
+    import jax
+
+    m = mesh_lib.multihost_mesh(model=2)
+    assert m.shape["model"] == 2
+    assert m.shape["data"] * 2 == jax.device_count()
+    with pytest.raises(ValueError):
+        mesh_lib.multihost_mesh(model=3)  # does not divide 8 local devices
+
+
+def test_trainer_for_deployment(tmp_path):
+    """for_deployment builds a global-mesh trainer and fits a dictionary."""
+    from gccnmf_tpu.parallel.trainer import DistributedNMFTrainer
+
+    tr = DistributedNMFTrainer.for_deployment(
+        model=2,
+        dictionary_size=8,
+        num_iterations=4,
+        checkpoint_every=2,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert tr.mesh.shape["model"] == 2
+    rng = np.random.default_rng(0)
+    v = (rng.random((64, 129)) + 0.05).astype(np.float32)
+    w = tr.fit(v)
+    assert w.shape == (129, 8)
+    assert np.isfinite(w).all() and (w >= 0).all()
