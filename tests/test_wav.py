@@ -47,3 +47,24 @@ def test_reads_reference_dev_wav_if_present():
     assert sr == 16000
     assert samples.shape[0] == 2
     assert samples.dtype == np.float32
+
+
+def test_read_24bit_pcm(tmp_path):
+    """24-bit PCM WAVs read correctly (reference: wavfile.py:134-173
+    pcm24to32); scipy widens to int32 and pcm_to_float rescales exactly."""
+    import struct
+
+    sr, n = 16000, 64
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-(2**23), 2**23, size=(n, 2))
+    data = b"".join(struct.pack("<i", v)[0:3] for v in vals.ravel())
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 6, 6, 24)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    path = tmp_path / "t24.wav"
+    path.write_bytes(hdr + data)
+    x, got_sr = wav.read_wav(str(path))
+    assert got_sr == sr and x.shape == (2, n) and x.dtype == np.float32
+    np.testing.assert_allclose(x, vals.T.astype(np.float64) / 2**23, atol=0)
