@@ -194,7 +194,7 @@ def bench_streaming(sr, host_steps: int = 30):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small config smoke run")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-numpy", action="store_true")
     args = ap.parse_args()
@@ -202,9 +202,22 @@ def main():
     jax = _setup_jax()
     stereo, sr, source = _load_audio()
 
-    tpu_throughput, host_io_throughput = bench_offline_tpu(
-        stereo, sr, args.batch, args.repeats, args.quick
-    )
+    # batch=128 is the measured single-chip throughput peak on v5e (192
+    # exhausts HBM); halve on ResourceExhausted so the bench degrades
+    # gracefully on smaller devices instead of dying.
+    batch = args.batch
+    while True:
+        try:
+            tpu_throughput, host_io_throughput = bench_offline_tpu(
+                stereo, sr, batch, args.repeats, args.quick
+            )
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or batch <= 1:
+                raise
+            batch //= 2
+            print(f"# OOM at batch {batch * 2}, retrying with {batch}",
+                  file=sys.stderr)
     device_ms, p50_ms, stream_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
@@ -228,7 +241,7 @@ def main():
         "streaming_p50_block_latency_ms": round(p50_ms, 3),
         "streaming_block_deadline_ms": 32.0,
         "audio_source": source,
-        "batch": args.batch,
+        "batch": batch,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
