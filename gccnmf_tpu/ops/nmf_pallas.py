@@ -44,9 +44,28 @@ def pad_to_multiple(x: np.ndarray | jax.Array, axis: int, multiple: int,
     return jnp.pad(x, widths, constant_values=value), size
 
 
-def _nmf_kernel(num_iterations, sparsity_alpha, epsilon,
+def _nmf_kernel(num_iterations, sparsity_alpha, epsilon, matmul_dtype,
                 v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
     v = v_ref[:]
+    # Two GEMM modes (all accumulation and multiplicative state stay f32):
+    # - "bfloat16": operands quantized to bf16, single-pass MXU issue —
+    #   Mosaic's own default lowering for f32 dots, measured bit-identical
+    #   to leaving operands f32 without a precision request. The ~0.4%
+    #   operand quantization perturbs the update trajectory, not the KL
+    #   fixed-point structure (validated in test_nmf_pallas).
+    # - "float32": true f32 GEMMs via Precision.HIGHEST (bf16x-pass
+    #   decomposition) — the oracle-parity trajectory, ~= the XLA path.
+    if jnp.dtype(matmul_dtype) == jnp.float32:
+
+        def mm(a, b):
+            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    else:
+        md = jnp.dtype(matmul_dtype)
+
+        def mm(a, b):
+            return jnp.dot(a.astype(md), b.astype(md),
+                           preferred_element_type=jnp.float32)
 
     # ε-padded rows/columns underflow to exact 0 over iterations; naive
     # guards like ``maximum(x, tiny)`` are defeated by XLA algebraic
@@ -63,13 +82,13 @@ def _nmf_kernel(num_iterations, sparsity_alpha, epsilon,
     def body(_, wh):
         w, h = wh
         # H update
-        q = safe_div(v, jnp.dot(h, w.T, preferred_element_type=jnp.float32))
-        h = h * jnp.dot(q, w, preferred_element_type=jnp.float32) / (
+        q = safe_div(v, mm(h, w.T))
+        h = h * mm(q, w) / (
             jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
         )
         # W update
-        q = safe_div(v, jnp.dot(h, w.T, preferred_element_type=jnp.float32))
-        num = jnp.dot(q.T, h, preferred_element_type=jnp.float32)  # (F, K)
+        q = safe_div(v, mm(h, w.T))
+        num = mm(q.T, h)  # (F, K)
         w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
         # per-atom unit-L2 renorm, H compensated
         norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
@@ -84,7 +103,9 @@ def _nmf_kernel(num_iterations, sparsity_alpha, epsilon,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iterations", "sparsity_alpha", "epsilon", "interpret"),
+    static_argnames=(
+        "num_iterations", "sparsity_alpha", "epsilon", "matmul_dtype", "interpret"
+    ),
 )
 def kl_nmf_pallas(
     v: jax.Array,
@@ -93,11 +114,20 @@ def kl_nmf_pallas(
     num_iterations: int,
     sparsity_alpha: float = 0.0,
     epsilon: float = 1e-16,
+    matmul_dtype: str = "bfloat16",
     interpret: bool = False,
 ):
     """Fused-VMEM KL-NMF. ``v``: (..., T, F); ``w0``: (..., F, K);
     ``h0``: (..., T, K); leading batch dims are mapped to the Pallas grid.
     Returns (W, H) matching :func:`gccnmf_tpu.ops.nmf.kl_nmf`.
+
+    ``matmul_dtype`` picks the GEMM numerics (accumulation is always f32):
+    the default ``"bfloat16"`` issues single-pass MXU dots (what Mosaic
+    lowers un-annotated f32 dots to anyway — measured bit-identical and
+    the throughput mode the benchmarks report); ``"float32"`` forces
+    Precision.HIGHEST for trajectory parity with the XLA/NumPy oracle
+    (max rel deviation ~2e-3 between the two after 30 iterations, e2e
+    separation output unaffected at >130 dB SI-SDR agreement).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -121,7 +151,7 @@ def kl_nmf_pallas(
     kp = w2.shape[2]
 
     kernel = functools.partial(
-        _nmf_kernel, num_iterations, sparsity_alpha, epsilon
+        _nmf_kernel, num_iterations, sparsity_alpha, epsilon, matmul_dtype
     )
     grid = (b,)
     spec3 = lambda shape: pl.BlockSpec(

@@ -21,7 +21,8 @@ class TestPallasNMF:
         v, w0, h0 = self._problem()
         w_ref, h_ref = nmf.kl_nmf(v, w0, h0, 15)
         w_p, h_p = kl_nmf_pallas(
-            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 15, interpret=True
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 15,
+            matmul_dtype="float32", interpret=True
         )
         np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-4)
@@ -31,7 +32,7 @@ class TestPallasNMF:
         vb = jnp.stack([v, 1.5 * v])
         wb = jnp.stack([w0, w0])
         hb = jnp.stack([h0, h0])
-        w_p, h_p = kl_nmf_pallas(vb, wb, hb, 5, interpret=True)
+        w_p, h_p = kl_nmf_pallas(vb, wb, hb, 5, matmul_dtype="float32", interpret=True)
         assert w_p.shape == (2, 33, 8) and h_p.shape == (2, 48, 8)
         # each batch element matches its own single run
         w1, _ = nmf.kl_nmf(1.5 * v, w0, h0, 5)
@@ -42,7 +43,7 @@ class TestPallasNMF:
         w_ref, h_ref = nmf.kl_nmf(v, w0, h0, 8, sparsity_alpha=0.3)
         w_p, h_p = kl_nmf_pallas(
             jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 8,
-            sparsity_alpha=0.3, interpret=True,
+            sparsity_alpha=0.3, matmul_dtype="float32", interpret=True,
         )
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-4)
 
@@ -51,7 +52,8 @@ class TestPallasNMF:
         v, w0, h0 = self._problem(t=16, f=128, k=128, seed=1)
         w_ref, _ = nmf.kl_nmf(v, w0, h0, 3)
         w_p, _ = kl_nmf_pallas(
-            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 3, interpret=True
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 3,
+            matmul_dtype="float32", interpret=True
         )
         np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref), rtol=1e-4)
 
@@ -62,3 +64,58 @@ class TestPallasNMF:
         assert float(y[5, 0]) == 0.5
         z, orig2 = pad_to_multiple(x, 0, 5, 0.5)
         assert z is x and orig2 == 5
+
+
+class TestBf16Mode:
+    """bfloat16-operand GEMM mode: not bit-parity, but must preserve the
+    KL objective and the learned dictionary to within quantization noise."""
+
+    def _problem(self, t=64, f=129, k=16, seed=0):
+        rng = np.random.default_rng(seed)
+        # synthetic low-rank-ish positive data: W*H + noise floor
+        wt = rng.random((f, 4)) + 0.1
+        ht = rng.random((t, 4)) + 0.1
+        v = (ht @ wt.T + 0.01).astype(np.float32)
+        w0, h0 = nmf.nmf_init_numpy(f, k, t)
+        return v, w0, h0
+
+    @staticmethod
+    def _kl(v, w, h):
+        wh = np.asarray(h) @ np.asarray(w).T + 1e-12
+        v = np.asarray(v)
+        return float(np.sum(v * np.log(v / wh + 1e-12) - v + wh))
+
+    def test_quality_matches_f32(self):
+        v, w0, h0 = self._problem()
+        args = (jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 30)
+        w_f32, h_f32 = kl_nmf_pallas(*args, matmul_dtype="float32", interpret=True)
+        w_bf, h_bf = kl_nmf_pallas(
+            *args, matmul_dtype="bfloat16", interpret=True
+        )
+        kl_f32 = self._kl(v, w_f32, h_f32)
+        kl_bf = self._kl(v, w_bf, h_bf)
+        # same objective value to within a few percent of the f32 fit
+        assert kl_bf <= kl_f32 * 1.1 + 1e-3
+        # atoms stay unit-norm and finite
+        norms = np.linalg.norm(np.asarray(w_bf), axis=0)
+        np.testing.assert_allclose(norms, 1.0, atol=5e-2)
+        assert np.isfinite(np.asarray(h_bf)).all()
+
+    def test_monotone_kl_decrease(self):
+        v, w0, h0 = self._problem(seed=3)
+        prev = None
+        for iters in (5, 15, 30):
+            w, h = kl_nmf_pallas(
+                jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), iters,
+                matmul_dtype="bfloat16", interpret=True,
+            )
+            cur = self._kl(v, w, h)
+            if prev is not None:
+                assert cur <= prev * 1.02
+            prev = cur
+
+    def test_offline_config_plumbs_dtype(self):
+        from gccnmf_tpu.models.offline import OfflineConfig
+
+        cfg = OfflineConfig(nmf_matmul_dtype="bfloat16")
+        assert cfg.nmf_matmul_dtype == "bfloat16"
