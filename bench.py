@@ -135,6 +135,34 @@ def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     return device_thr, host_thr
 
 
+def bench_enhance_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
+    """Offline enhancement (pre-learned W, soft masks) audio-s/s, batched."""
+    import jax.numpy as jnp
+
+    from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig
+
+    rng = np.random.default_rng(0)
+    k = 64 if quick else 128
+    cfg = OfflineConfig(
+        sample_rate=sr, mic_separation_m=0.1,
+        num_tdoas=64 if quick else 128, dictionary_size=k,
+    )
+    w = rng.random((cfg.num_freq, k)).astype(np.float32) + 1e-3
+    enh = GCCNMFEnhancer(w, cfg)
+    batch_in = jnp.asarray(
+        np.ascontiguousarray(np.broadcast_to(stereo, (batch,) + stereo.shape))
+    )
+    args = (jnp.float32(5.0), jnp.float32(2.0), jnp.float32(0.0))
+    out = enh._enhance_jit(batch_in, *args)  # compile
+    _fence(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = enh._enhance_jit(batch_in, *args)
+        _fence(out)
+    elapsed = time.perf_counter() - t0
+    return batch * repeats * stereo.shape[-1] / sr / elapsed
+
+
 def bench_offline_numpy(stereo, sr, quick: bool):
     from gccnmf_tpu.baselines import numpy_ref
 
@@ -218,6 +246,9 @@ def main():
             batch //= 2
             print(f"# OOM at batch {batch * 2}, retrying with {batch}",
                   file=sys.stderr)
+    enhance_throughput = bench_enhance_tpu(
+        stereo, sr, min(batch, 64), args.repeats, args.quick
+    )
     device_ms, p50_ms, stream_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
@@ -236,6 +267,7 @@ def main():
         ),
         "realtime_factor": round(tpu_throughput, 2),
         "with_host_io_audio_s_per_s": round(host_io_throughput, 2),
+        "enhancement_audio_s_per_s": round(enhance_throughput, 2),
         "streaming_device_ms_per_block": round(device_ms, 3),
         "streaming_realtime_factor": round(stream_rt, 1),
         "streaming_p50_block_latency_ms": round(p50_ms, 3),
