@@ -1,0 +1,183 @@
+"""Multi-stream serving runtime for RT-GCC-NMF.
+
+Production deployments enhance many independent audio streams on one chip:
+the per-block device program is identical for every stream, so the
+TPU-native serving shape is a **fixed-slot lockstep batch** — one compiled
+``step`` over ``(max_streams, C, block)`` with per-slot state, run once per
+block interval, slots joining and leaving without recompilation. The
+reference has no serving story (its realtime app is one stream in one
+process, reference: gccNMF/realtime/runRealtimeGCCNMF.py:41-120); this
+module is the scale-out analogue of its audio/DSP process pair.
+
+Design:
+
+- ``StreamServer(w, config, max_streams)`` compiles ONE step for the full
+  slot batch. Opening/closing a stream flips a host-side slot flag and
+  resets that slot's device state with a jitted, traced-index reset —
+  neither operation recompiles anything.
+- Per-stream control (target TDOA window, separation toggle, localization)
+  is expressed as *batched* ``StreamParams`` leaves (shapes ``(B,)`` /
+  ``(B,1,1)``), exploiting the step's broadcasting — the multi-tenant
+  generalization of the reference's single set of Theano shared variables
+  (gccNMFProcessor.py:195-199).
+- Inactive slots process silence and their outputs are discarded; activity
+  masking costs nothing on the MXU (the batch is padded to ``max_streams``
+  regardless) and guarantees deterministic per-block latency independent
+  of tenancy.
+- Stream isolation is structural: every state leaf carries a leading slot
+  axis and the step never mixes slots (verified by
+  tests/test_serving.py::test_stream_isolation).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gccnmf_tpu.models.realtime import (
+    RTGCCNMFProcessor,
+    StreamConfig,
+    StreamParams,
+)
+
+__all__ = ["StreamSettings", "StreamServer"]
+
+
+@dataclass
+class StreamSettings:
+    """Per-stream control settings (host-side; see StreamParams)."""
+
+    target_tdoa_index: float = 32.0
+    target_epsilon: float = 5.0
+    target_beta: float = 2.0
+    noise_floor: float = 0.0
+    separation_enabled: bool = True
+    localization_enabled: bool = True
+    localization_window: int = 6
+
+
+class StreamServer:
+    """Lockstep multi-stream RT-GCC-NMF enhancement server."""
+
+    def __init__(
+        self,
+        w: np.ndarray,
+        config: StreamConfig = StreamConfig(),
+        max_streams: int = 8,
+    ):
+        self.processor = RTGCCNMFProcessor(w, config)
+        self.config = config
+        self.max_streams = max_streams
+        self._state = self.processor.init_state(max_streams)
+        self._fresh_slot_state = self.processor.init_state(1)
+        self._settings: list[StreamSettings | None] = [None] * max_streams
+        self._next_id = 0
+        self._ids: dict[int, int] = {}  # stream_id -> slot
+        self._blocks_processed = 0
+
+    # ----------------------------------------------------------- lifecycle
+
+    @property
+    def active_streams(self) -> int:
+        return len(self._ids)
+
+    def open_stream(self, settings: StreamSettings | None = None) -> int:
+        """Claim a free slot → stream id. Raises when fully tenanted."""
+        try:
+            slot = self._settings.index(None)
+        except ValueError:
+            raise RuntimeError(f"all {self.max_streams} stream slots busy") from None
+        self._settings[slot] = settings or StreamSettings()
+        self._state = self._reset_slot(self._state, jnp.int32(slot))
+        stream_id = self._next_id
+        self._next_id += 1
+        self._ids[stream_id] = slot
+        return stream_id
+
+    def close_stream(self, stream_id: int) -> None:
+        slot = self._ids.pop(stream_id)
+        self._settings[slot] = None
+
+    def update_stream(self, stream_id: int, **changes) -> None:
+        """Adjust a live stream's settings (no recompile — traced params)."""
+        s = self._settings[self._ids[stream_id]]
+        for key, value in changes.items():
+            if not hasattr(s, key):
+                raise AttributeError(f"unknown stream setting: {key}")
+            setattr(s, key, value)
+
+    # ------------------------------------------------------------- stepping
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reset_slot(self, state, slot):
+        """Zero one slot's state leaves (traced index: one compile total)."""
+        fresh = self._fresh_slot_state
+        return jax.tree_util.tree_map(
+            lambda full, f1: jax.lax.dynamic_update_index_in_dim(
+                full, f1[0], slot, 0
+            ),
+            state,
+            fresh,
+        )
+
+    def _batched_params(self) -> StreamParams:
+        b = self.max_streams
+        cols = {f: np.empty(b, np.float64) for f in (
+            "target_tdoa_index", "target_epsilon", "target_beta", "noise_floor",
+            "localization_window",
+        )}
+        sep = np.zeros(b, bool)
+        loc = np.zeros(b, bool)
+        default = StreamSettings()
+        for slot in range(b):
+            s = self._settings[slot] or default
+            for f in cols:
+                cols[f][slot] = getattr(s, f)
+            sep[slot] = s.separation_enabled and self._settings[slot] is not None
+            loc[slot] = s.localization_enabled
+        return StreamParams(
+            target_tdoa_index=jnp.asarray(cols["target_tdoa_index"], jnp.float32),
+            target_epsilon=jnp.asarray(
+                cols["target_epsilon"], jnp.float32
+            ).reshape(b, 1, 1),
+            target_beta=jnp.asarray(cols["target_beta"], jnp.float32).reshape(
+                b, 1, 1
+            ),
+            noise_floor=jnp.asarray(cols["noise_floor"], jnp.float32).reshape(
+                b, 1, 1
+            ),
+            separation_enabled=jnp.asarray(sep).reshape(b, 1, 1),
+            localization_enabled=jnp.asarray(loc),
+            localization_window=jnp.asarray(cols["localization_window"], jnp.int32),
+        )
+
+    def process(self, blocks: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+        """One lockstep tick: ``{stream_id: (C, block)}`` in → same out.
+
+        Streams without a submitted block this tick receive silence (their
+        OLA/localization state still advances, preserving timing). Unknown
+        ids raise. Returns each submitted stream's enhanced block plus its
+        current telemetry under ``server.telemetry[stream_id]``.
+        """
+        cfg = self.config
+        batch = np.zeros(
+            (self.max_streams, cfg.num_channels, cfg.block_size), np.float32
+        )
+        for stream_id, block in blocks.items():
+            batch[self._ids[stream_id]] = block
+        state, out, telemetry = self.processor.step(
+            self._state, jnp.asarray(batch), self._batched_params()
+        )
+        self._state = state
+        self._blocks_processed += 1
+        out_np = np.asarray(out)
+        tdoa = np.asarray(telemetry["target_tdoa_index"])
+        self.telemetry = {
+            sid: dict(target_tdoa_index=float(tdoa[slot]))
+            for sid, slot in self._ids.items()
+        }
+        return {sid: out_np[self._ids[sid]] for sid in blocks}
