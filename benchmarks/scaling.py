@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _parse_args():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["batch", "streams", "dp"], default="batch")
+    ap.add_argument("--mode", choices=["batch", "streams", "dp", "serving"], default="batch")
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 4, 16])
     ap.add_argument("--streams", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--virtual-devices", type=int, default=0,
@@ -99,6 +99,40 @@ def bench_stream_sweep(args):
             mode="streams", streams=s,
             ms_per_block=round(dt / nb * 1e3, 3),
             aggregate_realtime_factor=round(s * nb * cfg.block_size / sr / dt, 1),
+        )))
+
+
+def bench_serving(args):
+    """StreamServer lockstep tick at increasing tenancy: per-tick wall time
+    (one host dispatch per block interval) and aggregate realtime factor.
+    Per-tick latency is dispatch-bound on tunneled harnesses; the point is
+    that it stays flat as streams are added, so aggregate throughput
+    scales linearly until device compute saturates."""
+    from gccnmf_tpu.models.realtime import StreamConfig
+    from gccnmf_tpu.serving import StreamServer
+
+    rng = np.random.default_rng(1)
+    cfg = StreamConfig()
+    w = rng.random((cfg.num_freq, 64)).astype(np.float32) + 1e-3
+    ticks = 20
+    for s in args.streams:
+        srv = StreamServer(w, cfg, max_streams=s)
+        ids = [srv.open_stream() for _ in range(s)]
+        block = (rng.standard_normal((cfg.num_channels, cfg.block_size))
+                 .astype(np.float32) * 0.1)
+        subs = {i: block for i in ids}
+        srv.process(subs)  # compile/warm
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            srv.process(subs)
+        dt = time.perf_counter() - t0
+        per_tick_ms = dt / ticks * 1e3
+        print(json.dumps(dict(
+            mode="serving", streams=s,
+            ms_per_tick=round(per_tick_ms, 3),
+            deadline_ms=round(cfg.block_size / cfg.sample_rate * 1e3, 1),
+            aggregate_realtime_factor=round(
+                s * ticks * cfg.block_size / cfg.sample_rate / dt, 1),
         )))
 
 
@@ -174,6 +208,8 @@ def main():
         bench_batch_sweep(args)
     elif args.mode == "streams":
         bench_stream_sweep(args)
+    elif args.mode == "serving":
+        bench_serving(args)
     else:
         bench_dp_scaling(args, virtual=bool(args.virtual_devices))
 
