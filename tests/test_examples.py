@@ -118,3 +118,18 @@ def test_realtime_streaming_example(mix_wav, tmp_path, monkeypatch, capsys):
         monkeypatch,
     )
     _check_audio(out)
+
+
+def test_multi_stream_serving_example(mix_wav, tmp_path, monkeypatch, capsys):
+    prefix = str(tmp_path / "served")
+    _run_example(
+        "multi_stream_serving",
+        [mix_wav, "-o", prefix, "--streams", "3", "--blocks", "12",
+         "--dictionary-size", "64"],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    written = [l.split()[1] for l in out.splitlines() if l.startswith("wrote ")]
+    assert len(written) == 3
+    for p in written:
+        _check_audio(p)
