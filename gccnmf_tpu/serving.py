@@ -78,6 +78,11 @@ class StreamServer:
         self._next_id = 0
         self._ids: dict[int, int] = {}  # stream_id -> slot
         self._blocks_processed = 0
+        # params are uploaded once per settings change, not per tick, and
+        # telemetry is fetched lazily — the per-tick host<->device traffic
+        # is exactly one block upload and one output download
+        self._params_cache: StreamParams | None = None
+        self._pending_telemetry = None
 
     # ----------------------------------------------------------- lifecycle
 
@@ -92,6 +97,7 @@ class StreamServer:
         except ValueError:
             raise RuntimeError(f"all {self.max_streams} stream slots busy") from None
         self._settings[slot] = settings or StreamSettings()
+        self._params_cache = None
         self._state = self._reset_slot(self._state, jnp.int32(slot))
         stream_id = self._next_id
         self._next_id += 1
@@ -101,6 +107,7 @@ class StreamServer:
     def close_stream(self, stream_id: int) -> None:
         slot = self._ids.pop(stream_id)
         self._settings[slot] = None
+        self._params_cache = None
 
     def update_stream(self, stream_id: int, **changes) -> None:
         """Adjust a live stream's settings (no recompile — traced params)."""
@@ -109,6 +116,7 @@ class StreamServer:
             if not hasattr(s, key):
                 raise AttributeError(f"unknown stream setting: {key}")
             setattr(s, key, value)
+        self._params_cache = None
 
     # ------------------------------------------------------------- stepping
 
@@ -169,15 +177,29 @@ class StreamServer:
         )
         for stream_id, block in blocks.items():
             batch[self._ids[stream_id]] = block
+        if self._params_cache is None:
+            self._params_cache = self._batched_params()
         state, out, telemetry = self.processor.step(
-            self._state, jnp.asarray(batch), self._batched_params()
+            self._state, jnp.asarray(batch), self._params_cache
         )
         self._state = state
         self._blocks_processed += 1
         out_np = np.asarray(out)
-        tdoa = np.asarray(telemetry["target_tdoa_index"])
-        self.telemetry = {
-            sid: dict(target_tdoa_index=float(tdoa[slot]))
-            for sid, slot in self._ids.items()
-        }
+        # keep telemetry on device; materialize only if someone reads it
+        self._pending_telemetry = (
+            dict(self._ids),
+            telemetry["target_tdoa_index"],
+        )
         return {sid: out_np[self._ids[sid]] for sid in blocks}
+
+    @property
+    def telemetry(self) -> dict[int, dict]:
+        """Per-stream telemetry of the latest tick (lazy device fetch)."""
+        if self._pending_telemetry is None:
+            return {}
+        ids, tdoa_dev = self._pending_telemetry
+        tdoa = np.asarray(tdoa_dev)
+        return {
+            sid: dict(target_tdoa_index=float(tdoa[slot]))
+            for sid, slot in ids.items()
+        }
