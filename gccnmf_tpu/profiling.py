@@ -28,7 +28,7 @@ __all__ = ["trace", "annotate", "StageTimer", "block_all"]
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture a ``jax.profiler`` trace into ``log_dir``.
 
     View with TensorBoard's profile plugin or Perfetto. Wrap steady-state
@@ -36,7 +36,7 @@ def trace(log_dir: str, host_tracer_level: int = 2):
     """
     import jax
 
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
