@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gccnmf_tpu.ops import gcc, localize, masks, nmf, stft as stft_ops
+from gccnmf_tpu.ops import gcc, localize, masks, nmf, stft as stft_ops, xprec
 from gccnmf_tpu.ops import windows as win_ops
 from gccnmf_tpu.utils import wav
 
@@ -291,8 +291,8 @@ class GCCNMFEnhancer:
         cos_w = (cos_m[:, :, None] * self.w[:, None, :]).reshape(cos_m.shape[0], d * k)
         sin_w = (sin_m[:, :, None] * self.w[:, None, :]).reshape(sin_m.shape[0], d * k)
         flat = jnp.matmul(
-            jnp.real(coh), cos_w, precision=jax.lax.Precision.HIGHEST
-        ) + jnp.matmul(jnp.imag(coh), sin_w, precision=jax.lax.Precision.HIGHEST)
+            jnp.real(coh), cos_w, precision=xprec.get()
+        ) + jnp.matmul(jnp.imag(coh), sin_w, precision=xprec.get())
         scores = flat.reshape(*coh.shape[:-1], d, k)  # (..., T, D, K)
         argmax_d = jnp.argmax(scores, axis=-2)  # (..., T, K)
         h_mask = masks.soft_tdoa_coefficient_mask(

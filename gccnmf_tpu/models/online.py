@@ -36,7 +36,11 @@ from gccnmf_tpu.ops import windows as win_ops
 
 __all__ = ["OnlineConfig", "OnlineGCCNMFEnhancer"]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from gccnmf_tpu.ops import xprec as _xprec
+
+
+def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
+    return _xprec.get()
 
 
 @dataclass(frozen=True)
@@ -125,8 +129,8 @@ class OnlineGCCNMFEnhancer:
         target_idx = jnp.argmax(smoothed, axis=-1).astype(jnp.float32)  # (..., T)
 
         d, k = cfg.num_tdoas, self.w.shape[1]
-        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST) + jnp.matmul(
-            jnp.imag(coh), self._sin_w, precision=_HIGHEST
+        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST()) + jnp.matmul(
+            jnp.imag(coh), self._sin_w, precision=_HIGHEST()
         )
         scores = flat.reshape(*coh.shape[:-1], d, k)  # (..., T, D, K)
         argmax_d = jnp.argmax(scores, axis=-2)  # (..., T, K)
@@ -142,8 +146,8 @@ class OnlineGCCNMFEnhancer:
             v = jnp.mean(jnp.abs(spec), axis=-3)  # (..., T, F) channel-avg mags
             h0 = jnp.ones(v.shape[:-1] + (k,), jnp.float32)
             h = nmf.h_infer(v, self.w, h0, cfg.num_h_updates, epsilon=cfg.epsilon)
-            num = jnp.einsum("...tk,fk->...tf", h * h_mask, self.w, precision=_HIGHEST)
-            den = jnp.einsum("...tk,fk->...tf", h, self.w, precision=_HIGHEST)
+            num = jnp.einsum("...tk,fk->...tf", h * h_mask, self.w, precision=_HIGHEST())
+            den = jnp.einsum("...tk,fk->...tf", h, self.w, precision=_HIGHEST())
             tf_mask = num / (den + cfg.epsilon)
         else:
             tf_mask = masks.wiener_tf_mask(self.w, h_mask)

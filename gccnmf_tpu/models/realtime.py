@@ -44,7 +44,11 @@ from gccnmf_tpu.ops import windows as win_ops
 
 __all__ = ["StreamConfig", "StreamParams", "StreamState", "RTGCCNMFProcessor"]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from gccnmf_tpu.ops import xprec as _xprec
+
+
+def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
+    return _xprec.get()
 
 TARGET_MODE_BOXCAR = 0
 TARGET_MODE_WINDOW_FUNCTION = 2
@@ -223,8 +227,8 @@ class RTGCCNMFProcessor:
 
         coh = gcc.coherence(spec)  # (B, m, F)
         # attribution over all TDOAs: (B, m, D, K) via flat GEMM
-        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST) + jnp.matmul(
-            jnp.imag(coh), self._sin_w, precision=_HIGHEST
+        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST()) + jnp.matmul(
+            jnp.imag(coh), self._sin_w, precision=_HIGHEST()
         )
         d, k = cfg.num_tdoas, self.w.shape[1]
         scores = flat.reshape(*coh.shape[:-1], d, k)

@@ -30,7 +30,11 @@ __all__ = [
     "mean_angular_spectrum",
 ]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from gccnmf_tpu.ops import xprec as _xprec
+
+
+def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
+    return _xprec.get()
 
 
 def max_tdoa(mic_separation_m: float) -> float:
@@ -100,8 +104,8 @@ def angular_spectrogram(
     """
     cos_m = jnp.asarray(cos_m, jnp.float32)
     sin_m = jnp.asarray(sin_m, jnp.float32)
-    return jnp.matmul(jnp.real(coh), cos_m, precision=_HIGHEST) + jnp.matmul(
-        jnp.imag(coh), sin_m, precision=_HIGHEST
+    return jnp.matmul(jnp.real(coh), cos_m, precision=_HIGHEST()) + jnp.matmul(
+        jnp.imag(coh), sin_m, precision=_HIGHEST()
     )
 
 

@@ -29,7 +29,11 @@ __all__ = [
     "wiener_tf_mask",
 ]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from gccnmf_tpu.ops import xprec as _xprec
+
+
+def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
+    return _xprec.get()
 
 
 def target_attribution(
@@ -52,7 +56,7 @@ def target_attribution(
         jnp.real(coh)[..., None, :, :] * cos_sel.T[:, None, :]
         + jnp.imag(coh)[..., None, :, :] * sin_sel.T[:, None, :]
     )
-    return jnp.matmul(re, w, precision=_HIGHEST)  # (N, T, K)
+    return jnp.matmul(re, w, precision=_HIGHEST())  # (N, T, K)
 
 
 def hard_coefficient_masks(scores: jax.Array) -> jax.Array:
@@ -82,7 +86,7 @@ def masked_reconstruction(
     (reference gccNMFFunctions.py:145-151).
     """
     masked_h = h_stereo[None, :, :, :] * masks[:, None, :, :]  # (N, 2, T, K)
-    mags = jnp.einsum("nctk,fk->nctf", masked_h, w, precision=_HIGHEST)
+    mags = jnp.einsum("nctk,fk->nctf", masked_h, w, precision=_HIGHEST())
     phase = jnp.exp(1j * jnp.angle(spec))
     return mags.astype(jnp.complex64) * phase[None]
 
@@ -119,5 +123,5 @@ def wiener_tf_mask(w: jax.Array, h_mask: jax.Array) -> jax.Array:
     """Wiener-style TF mask ``(..., T, F)`` from coefficient mask
     ``h_mask (..., T, K)``: ``(h_mask Wᵀ) / Σ_k W[f,k]``
     (reference gccNMFProcessor.py:267-269)."""
-    rec = jnp.einsum("...tk,fk->...tf", h_mask, w, precision=_HIGHEST)
+    rec = jnp.einsum("...tk,fk->...tf", h_mask, w, precision=_HIGHEST())
     return rec / jnp.sum(w, axis=-1)

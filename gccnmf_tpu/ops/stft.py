@@ -54,7 +54,11 @@ __all__ = [
     "idft_matrices",
 ]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from gccnmf_tpu.ops import xprec as _xprec
+
+
+def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
+    return _xprec.get()
 
 
 def num_frames(n: int, frame_length: int, hop_size: int) -> int:
@@ -123,7 +127,7 @@ def _stft_conv(y: jax.Array, window: jax.Array, hop_size: int, fft_size: int):
         window_strides=(hop_size,),
         padding="VALID",
         dimension_numbers=("NCH", "HIO", "NHC"),
-        precision=_HIGHEST,
+        precision=_HIGHEST(),
     )  # (N, T, 2F)
     num_freq = fft_size // 2 + 1
     out = out.reshape(*batch, out.shape[-2], 2 * num_freq)
@@ -157,8 +161,8 @@ def stft(
         spec = jnp.fft.rfft(frames, n=fft_size, axis=-1).astype(jnp.complex64)
     elif method == "matmul":
         cos_m, sin_m = dft_matrices(fft_size)
-        real = jnp.matmul(frames, cos_m, precision=_HIGHEST)
-        imag = -jnp.matmul(frames, sin_m, precision=_HIGHEST)
+        real = jnp.matmul(frames, cos_m, precision=_HIGHEST())
+        imag = -jnp.matmul(frames, sin_m, precision=_HIGHEST())
         spec = jax.lax.complex(real, imag)
     else:
         raise ValueError(f"unknown stft method: {method}")
@@ -228,7 +232,7 @@ def istft(
             strides=(hop_size,),
             padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
-            precision=_HIGHEST,
+            precision=_HIGHEST(),
         )  # (N, n, 1)
         y = y.reshape(*batch, -1)
         if center_trim:
@@ -239,8 +243,8 @@ def istft(
         frames = jnp.fft.irfft(spec, n=fft_size, axis=-1).astype(jnp.float32)
     elif method == "matmul":
         a, b = idft_matrices(fft_size)
-        frames = jnp.matmul(jnp.real(spec), a, precision=_HIGHEST) + jnp.matmul(
-            jnp.imag(spec), b, precision=_HIGHEST
+        frames = jnp.matmul(jnp.real(spec), a, precision=_HIGHEST()) + jnp.matmul(
+            jnp.imag(spec), b, precision=_HIGHEST()
         )
     else:
         raise ValueError(f"unknown istft method: {method}")

@@ -203,3 +203,26 @@ class TestMasks:
         assert np.all(np.asarray(tf) >= 0)
         box = masks.boxcar_tdoa_coefficient_mask(argmax_d, 30.0, 5.0)
         assert set(np.unique(np.asarray(box))) <= {0.0, 1.0}
+
+
+class TestPrecisionPolicy:
+    def test_levels_resolve(self):
+        from gccnmf_tpu.ops import xprec
+        import jax
+
+        assert xprec.current_level() in ("default", "high", "highest")
+        # CPU backend in tests -> exact f32, policy must be highest
+        assert xprec.current_level() == "highest"
+        assert xprec.get() == jax.lax.Precision.HIGHEST
+
+    def test_set_and_restore(self):
+        from gccnmf_tpu.ops import xprec
+
+        old = xprec.current_level()
+        try:
+            xprec.set_matmul_precision("high")
+            assert xprec.current_level() == "high"
+            with pytest.raises(ValueError):
+                xprec.set_matmul_precision("bogus")
+        finally:
+            xprec.set_matmul_precision(old)
