@@ -280,5 +280,108 @@ def realtime_main(argv=None):
     return 0
 
 
+def serve_main(argv=None):
+    """Multi-stream serving: one stream per input WAV, lockstep ticks.
+
+    The serving-scale analogue of ``gccnmf-realtime`` (no reference
+    equivalent — the reference serves one stream per process). Streams
+    whose files end close early; ticks continue until all streams drain.
+    """
+    import os
+    import time
+
+    ap = argparse.ArgumentParser(description="Multi-stream GCC-NMF server")
+    ap.add_argument("-i", "--inputs", nargs="+", required=True,
+                    help="input WAV paths (one stream each)")
+    ap.add_argument("-o", "--output-dir", default=".",
+                    help="directory for <name>_enhanced.wav outputs")
+    ap.add_argument("-c", "--config", default=None, help="INI config file")
+    ap.add_argument("--max-streams", type=int, default=None,
+                    help="slot count (default: number of inputs)")
+    ap.add_argument("--dictionary-size", type=int, default=None)
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="stop each stream after N blocks")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    from gccnmf_tpu import native, pretrain
+    from gccnmf_tpu.config import load_config
+    from gccnmf_tpu.models.realtime import StreamConfig
+    from gccnmf_tpu.serving import StreamServer
+    from gccnmf_tpu.utils import wav as wavio
+
+    cfg = load_config(args.config)
+    dict_size = args.dictionary_size or cfg.dictionary_size
+    scfg = StreamConfig(
+        sample_rate=cfg.sample_rate,
+        window_size=cfg.window_size,
+        hop_size=cfg.hop_size,
+        block_size=cfg.block_size,
+        num_tdoas=cfg.num_tdoas,
+        mic_separation_m=cfg.microphone_separation_in_metres,
+        num_channels=cfg.num_channels,
+    )
+    w = pretrain.get_dictionaries(scfg.window_size, sizes=(dict_size,))[
+        "Pretrained"
+    ][dict_size]
+    server = StreamServer(w, scfg, max_streams=args.max_streams or len(args.inputs))
+
+    streams = {}
+    for path in args.inputs:
+        audio, sr = wavio.read_wav(path)
+        if sr != scfg.sample_rate:
+            raise SystemExit(f"{path}: sample rate {sr} != {scfg.sample_rate}")
+        sid = server.open_stream()
+        nb = audio.shape[-1] // scfg.block_size
+        if args.blocks:
+            nb = min(nb, args.blocks)
+        streams[sid] = dict(path=path, audio=audio, nb=nb, pos=0, out=[])
+
+    times = native.BlockTimes(capacity=1024)
+    live = set(streams)
+    while live:
+        t0 = time.perf_counter()
+        subs = {}
+        for sid in list(live):
+            s = streams[sid]
+            b = s["pos"]
+            subs[sid] = s["audio"][:, b * scfg.block_size:(b + 1) * scfg.block_size]
+        out = server.process(subs)
+        times.record(time.perf_counter() - t0)
+        for sid, block in out.items():
+            s = streams[sid]
+            s["out"].append(block)
+            s["pos"] += 1
+            if s["pos"] >= s["nb"]:
+                server.close_stream(sid)
+                live.discard(sid)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    outputs = []
+    used = set()
+    for sid, s in streams.items():
+        name = os.path.basename(s["path"]).rsplit(".", 1)[0]
+        stem, k = name, 1
+        while stem in used:  # same-named inputs: disambiguate
+            k += 1
+            stem = f"{name}_{k}"
+        used.add(stem)
+        path = os.path.join(args.output_dir, f"{stem}_enhanced.wav")
+        wavio.write_wav(np.concatenate(s["out"], axis=-1), path, scfg.sample_rate)
+        outputs.append(path)
+    mn, mx, mean, n = times.stats()
+    print(json.dumps(dict(
+        outputs=outputs,
+        streams=len(streams),
+        ticks=n,
+        tick_ms=dict(min=round(mn * 1e3, 3), mean=round(mean * 1e3, 3),
+                     max=round(mx * 1e3, 3)),
+        deadline_ms=round(scfg.block_size / scfg.sample_rate * 1e3, 1),
+    )))
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(separate_main())

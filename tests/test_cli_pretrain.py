@@ -163,3 +163,23 @@ class TestCLI:
         assert rc == 0
         info = json.loads(capsys.readouterr().out.strip())
         assert os.path.exists(info["output"])
+
+
+def test_serve_cli(tmp_path, monkeypatch, capsys, wav_file):
+    """gccnmf-serve: two streams from the same file, lockstep ticks,
+    distinct output names, valid audio."""
+    monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "5")
+    monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "200")
+    from gccnmf_tpu.cli import serve_main
+
+    dev_wav, _sr = wav_file
+    out_dir = str(tmp_path / "out")
+    serve_main(["-i", dev_wav, dev_wav, "-o", out_dir, "--blocks", "8",
+                "--dictionary-size", "64"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["streams"] == 2 and result["ticks"] == 8
+    assert len(set(result["outputs"])) == 2
+    for p in result["outputs"]:
+        x, sr = wavio.read_wav(p)
+        assert np.isfinite(x).all() and x.shape[-1] > 0
