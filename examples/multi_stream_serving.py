@@ -42,13 +42,26 @@ def main():
         else:
             ids.append(server.open_stream(StreamSettings(target_epsilon=2.0 + 2.0 * i)))
 
-    num_blocks = stereo.shape[-1] // cfg.block_size
+    total_blocks = stereo.shape[-1] // cfg.block_size
+    if total_blocks == 0:
+        raise SystemExit(
+            f"input shorter than one block ({cfg.block_size} samples)"
+        )
+    num_blocks = total_blocks
     if args.blocks:
         num_blocks = min(num_blocks, args.blocks)
+    # each stream reads its own section of the file (wrapping), so the
+    # tenants genuinely process different audio in lockstep
+    offsets = [
+        (i * total_blocks) // args.streams for i in range(args.streams)
+    ]
     outputs = {sid: [] for sid in ids}
     for b in range(num_blocks):
-        block = stereo[:, b * cfg.block_size : (b + 1) * cfg.block_size]
-        out = server.process({sid: block for sid in ids})
+        subs = {}
+        for i, sid in enumerate(ids):
+            pos = (offsets[i] + b) % total_blocks
+            subs[sid] = stereo[:, pos * cfg.block_size : (pos + 1) * cfg.block_size]
+        out = server.process(subs)
         for sid in ids:
             outputs[sid].append(out[sid])
 

@@ -175,15 +175,11 @@ def stream_main(argv=None):
     hop = cfg.hop_size
     if args.low_latency:
         hop = min(hop, args.synthesis_length // 2)
-    scfg = StreamConfig(
+    scfg = StreamConfig.from_app_config(
+        cfg,
         sample_rate=sr,
-        window_size=cfg.window_size,
         hop_size=hop,
-        block_size=cfg.block_size,
         synthesis_length=args.synthesis_length,
-        num_tdoas=cfg.num_tdoas,
-        mic_separation_m=cfg.microphone_separation_in_metres,
-        history_length=cfg.num_tdoa_history,
         extra_delay_blocks=1 if args.reference_delay else 0,
         analysis_window="asymmetric" if args.low_latency else "sqrt_hamming",
     )
@@ -314,15 +310,7 @@ def serve_main(argv=None):
 
     cfg = load_config(args.config)
     dict_size = args.dictionary_size or cfg.dictionary_size
-    scfg = StreamConfig(
-        sample_rate=cfg.sample_rate,
-        window_size=cfg.window_size,
-        hop_size=cfg.hop_size,
-        block_size=cfg.block_size,
-        num_tdoas=cfg.num_tdoas,
-        mic_separation_m=cfg.microphone_separation_in_metres,
-        num_channels=cfg.num_channels,
-    )
+    scfg = StreamConfig.from_app_config(cfg)
     w = pretrain.get_dictionaries(scfg.window_size, sizes=(dict_size,))[
         "Pretrained"
     ][dict_size]
@@ -333,14 +321,17 @@ def serve_main(argv=None):
         audio, sr = wavio.read_wav(path)
         if sr != scfg.sample_rate:
             raise SystemExit(f"{path}: sample rate {sr} != {scfg.sample_rate}")
-        sid = server.open_stream()
         nb = audio.shape[-1] // scfg.block_size
         if args.blocks:
             nb = min(nb, args.blocks)
+        sid = server.open_stream()
         streams[sid] = dict(path=path, audio=audio, nb=nb, pos=0, out=[])
+        if nb == 0:  # shorter than one block: nothing to process
+            server.close_stream(sid)
 
     times = native.BlockTimes(capacity=1024)
-    live = set(streams)
+    live = {sid for sid, s in streams.items() if s["nb"] > 0}
+    total_ticks = 0
     while live:
         t0 = time.perf_counter()
         subs = {}
@@ -350,6 +341,7 @@ def serve_main(argv=None):
             subs[sid] = s["audio"][:, b * scfg.block_size:(b + 1) * scfg.block_size]
         out = server.process(subs)
         times.record(time.perf_counter() - t0)
+        total_ticks += 1
         for sid, block in out.items():
             s = streams[sid]
             s["out"].append(block)
@@ -369,15 +361,17 @@ def serve_main(argv=None):
             stem = f"{name}_{k}"
         used.add(stem)
         path = os.path.join(args.output_dir, f"{stem}_enhanced.wav")
-        wavio.write_wav(np.concatenate(s["out"], axis=-1), path, scfg.sample_rate)
+        audio_out = (np.concatenate(s["out"], axis=-1) if s["out"]
+                     else np.zeros((scfg.num_channels, 0), np.float32))
+        wavio.write_wav(audio_out, path, scfg.sample_rate)
         outputs.append(path)
     mn, mx, mean, n = times.stats()
     print(json.dumps(dict(
         outputs=outputs,
         streams=len(streams),
-        ticks=n,
+        ticks=total_ticks,
         tick_ms=dict(min=round(mn * 1e3, 3), mean=round(mean * 1e3, 3),
-                     max=round(mx * 1e3, 3)),
+                     max=round(mx * 1e3, 3), window=n),
         deadline_ms=round(scfg.block_size / scfg.sample_rate * 1e3, 1),
     )))
     return 0

@@ -166,14 +166,14 @@ def stoi(
     """
     clean = np.asarray(clean, np.float64)
     degraded = np.asarray(degraded, np.float64)
+    if clean.shape != degraded.shape:
+        raise ValueError("clean/degraded shape mismatch")
     if clean.ndim == 2:
         return float(
             np.mean(
                 [stoi(c, d, sample_rate) for c, d in zip(clean, degraded)]
             )
         )
-    if clean.shape != degraded.shape:
-        raise ValueError("clean/degraded length mismatch")
     clean = _stoi_resample(clean, sample_rate)
     degraded = _stoi_resample(degraded, sample_rate)
     clean, degraded = _stoi_remove_silent(clean, degraded)

@@ -71,6 +71,24 @@ class StreamConfig:
     analysis_window: str = "sqrt_hamming"  # or "asymmetric"
     synthesis_length: int = 256  # only for asymmetric windows
 
+    @classmethod
+    def from_app_config(cls, cfg, **overrides) -> "StreamConfig":
+        """Map a :class:`gccnmf_tpu.config.GCCNMFConfig` (duck-typed) to the
+        streaming engine's config — the single source of truth for the
+        mapping shared by gccnmf-stream / gccnmf-serve / gccnmf-realtime."""
+        fields = dict(
+            sample_rate=cfg.sample_rate,
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+            block_size=cfg.block_size,
+            num_tdoas=cfg.num_tdoas,
+            mic_separation_m=cfg.microphone_separation_in_metres,
+            num_channels=cfg.num_channels,
+            history_length=cfg.num_tdoa_history,
+        )
+        fields.update(overrides)
+        return cls(**fields)
+
     @property
     def windows_per_block(self) -> int:
         return self.block_size // self.hop_size

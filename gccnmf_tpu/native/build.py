@@ -56,6 +56,10 @@ def build(force: bool = False) -> str | None:
         with open(stamp) as f:
             if f.read().strip() == fp:
                 return out
+    # compile to a per-process temp name so concurrent builders (e.g.
+    # pytest-xdist workers) cannot interleave writes; os.replace publishes
+    # atomically and the losers just overwrite with identical bytes
+    tmp_out = f"{out}.tmp.{os.getpid()}"
     cmd = [
         compiler,
         "-O3",
@@ -66,14 +70,14 @@ def build(force: bool = False) -> str | None:
         "-Wall",
         _SRC,
         "-o",
-        out + ".tmp",
+        tmp_out,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:  # pragma: no cover
         logger.warning("native runtime build failed:\n%s", e.stderr)
         return None
-    os.replace(out + ".tmp", out)
+    os.replace(tmp_out, out)
     fd, tmp = tempfile.mkstemp(dir=_DIR)
     with os.fdopen(fd, "w") as f:
         f.write(fp)

@@ -55,9 +55,20 @@ def _load():
             return _lib
         path = _build.build()
         if path is not None:
-            lib = ctypes.CDLL(path)
-            _declare(lib)
-            _lib = lib
+            try:
+                lib = ctypes.CDLL(path)
+                _declare(lib)
+                if lib.gccnmf_rt_abi_version() != 1:
+                    raise OSError("gccnmf_rt ABI version mismatch")
+                _lib = lib
+            except OSError as e:
+                # corrupt/incompatible artifact: fall back to NumPy rather
+                # than poisoning every consumer; a rebuild will repair it
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native runtime unusable (%s); using NumPy fallback", e
+                )
         _lib_tried = True
     return _lib
 
@@ -143,7 +154,7 @@ def deinterleave_pcm16(pcm: np.ndarray, channels: int) -> np.ndarray:
     frames = pcm.size // channels
     lib = _load()
     if lib is None:
-        planar = pcm.reshape(frames, channels).T
+        planar = pcm[: frames * channels].reshape(frames, channels).T
         return (planar.astype(np.float32) / 32768.0).astype(np.float32)
     out = np.empty((channels, frames), np.float32)
     lib.gccnmf_deinterleave_pcm16(
@@ -285,6 +296,12 @@ class OverlapAdd:
         frames = _as_c(frames, np.float32)
         channels, num_frames, frame_size = frames.shape
         assert channels == self.channels
+        span = frame_size + (num_frames - 1) * hop_size
+        if span > self.block_size * self.num_blocks:
+            raise ValueError(
+                f"frames span {span} samples, ring holds only "
+                f"{self.block_size * self.num_blocks}"
+            )
         if self._lib is not None:
             self._lib.gccnmf_ola_add_block(
                 self._h, frames.ctypes.data_as(_f32p), num_frames, frame_size, hop_size

@@ -248,6 +248,7 @@ GCCNMF_EXPORT void gccnmf_ola_add_block(GccnmfOla* o, const float* frames,
         for (int32_t f = 0; f < num_frames; ++f) {
             int64_t start =
                 total - frame_size - static_cast<int64_t>(num_frames - 1 - f) * hop_size;
+            if (start < 0) continue;  // frame span exceeds the ring: drop
             const float* src = fch + static_cast<int64_t>(f) * frame_size;
             float* dst = buf + start;
             for (int32_t i = 0; i < frame_size; ++i) dst[i] += src[i];

@@ -117,17 +117,7 @@ class RealtimeGCCNMF:
         if self._processor is None:
             cfg = self.config
             self._processor = RTGCCNMFProcessor(
-                self._get_dictionary(),
-                StreamConfig(
-                    sample_rate=cfg.sample_rate,
-                    window_size=cfg.window_size,
-                    hop_size=cfg.hop_size,
-                    block_size=cfg.block_size,
-                    num_tdoas=cfg.num_tdoas,
-                    mic_separation_m=cfg.microphone_separation_in_metres,
-                    num_channels=cfg.num_channels,
-                    history_length=cfg.num_tdoa_history,
-                ),
+                self._get_dictionary(), StreamConfig.from_app_config(cfg)
             )
             self._state = self._processor.init_state(1)
         return self._processor

@@ -84,3 +84,8 @@ class TestStoi:
     def test_too_short_raises(self):
         with pytest.raises(ValueError):
             metrics.stoi(np.zeros(100), np.zeros(100), 16000)
+
+    def test_shape_mismatch_raises(self):
+        x = self._speech_like()
+        with pytest.raises(ValueError):
+            metrics.stoi(np.stack([x, x, x]), np.stack([x, x]), 16000)

@@ -262,3 +262,20 @@ def test_app_block_time_stats():
     app._block_times.record(0.006)
     mn, mx, mean, n = app.block_time_stats()
     assert n == 2 and mn == pytest.approx(0.004) and mean == pytest.approx(0.005)
+
+
+def test_overlap_add_rejects_oversized_span():
+    ola = rt.OverlapAdd(1, 128, 4)  # ring holds 512 samples
+    frames = np.zeros((1, 2, 512), np.float32)  # span 512+hop > 512
+    with pytest.raises(ValueError):
+        ola.add_block(frames, 64)
+
+
+def test_deinterleave_ragged_tail_matches_native(monkeypatch):
+    """Non-multiple-of-channels input: both tiers truncate the partial frame."""
+    pcm = np.arange(1023, dtype=np.int16)
+    nat = native.deinterleave_pcm16(pcm, 2)
+    monkeypatch.setattr(rt, "_load", lambda: None)
+    fb = native.deinterleave_pcm16(pcm, 2)
+    assert nat.shape == fb.shape == (2, 511)
+    np.testing.assert_allclose(nat, fb, atol=0)
