@@ -175,8 +175,9 @@ def bench_offline_numpy(stereo, sr, quick: bool):
     return (stereo.shape[-1] / sr) / elapsed
 
 
-def bench_streaming(sr, host_steps: int = 30):
-    """Returns (device_ms_per_block, host_p50_ms, streams_x_realtime)."""
+def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
+    """Returns (device_ms_per_block, host_p50_ms, rt_factor,
+    multistream_aggregate_rt_factor)."""
     import jax.numpy as jnp
 
     from gccnmf_tpu.models.realtime import (
@@ -205,6 +206,21 @@ def bench_streaming(sr, host_steps: int = 30):
     device_ms = scan_s / nb * 1e3
     rt_factor = (nb * cfg.block_size / sr) / scan_s
 
+    # --- multi-stream aggregate: 64 streams in lockstep, one scan ---------
+    sigs = np.asarray(
+        rng.standard_normal((multi_streams, 2, 2 * sr)), np.float32
+    ) * 0.1
+    mblocks = jnp.asarray(proc.blocks_from_signal(sigs))
+    mstate = proc.init_state(multi_streams)
+    _, mouts = proc.scan_blocks(mstate, mblocks, params)  # compile
+    _fence(mouts)
+    t0 = time.perf_counter()
+    _, mouts = proc.scan_blocks(mstate, mblocks, params)
+    _fence(mouts)
+    m_s = time.perf_counter() - t0
+    mnb = mblocks.shape[0]
+    multi_rt = multi_streams * mnb * cfg.block_size / sr / m_s
+
     # --- host-loop p50 (tunnel-dispatch bound on this harness) ------------
     state = proc.init_state(1)
     block = blocks[0]
@@ -216,7 +232,7 @@ def bench_streaming(sr, host_steps: int = 30):
         st, out, _ = proc.step(st, block, params)
         _fence(out)
         times.append(time.perf_counter() - t0)
-    return device_ms, float(np.percentile(times, 50) * 1e3), rt_factor
+    return device_ms, float(np.percentile(times, 50) * 1e3), rt_factor, multi_rt
 
 
 def main():
@@ -249,7 +265,7 @@ def main():
     enhance_throughput = bench_enhance_tpu(
         stereo, sr, min(batch, 64), args.repeats, args.quick
     )
-    device_ms, p50_ms, stream_rt = bench_streaming(sr)
+    device_ms, p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
     else:
@@ -270,6 +286,7 @@ def main():
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
         "streaming_device_ms_per_block": round(device_ms, 3),
         "streaming_realtime_factor": round(stream_rt, 1),
+        "streaming_64streams_aggregate_rt_factor": round(multi_rt, 1),
         "streaming_p50_block_latency_ms": round(p50_ms, 3),
         "streaming_block_deadline_ms": 32.0,
         "audio_source": source,
