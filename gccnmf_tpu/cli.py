@@ -6,8 +6,9 @@ Mirrors the reference's two executables:
 - ``gccnmf-stream``   ≙ gccNMF/realtime/runRealtimeGCCNMF.py --no-gui
   (headless streaming enhancement over a WAV file)
 
-plus ``gccnmf-enhance`` (offline/online enhancement) and
-``gccnmf-bench`` (the benchmark harness).
+plus ``gccnmf-enhance`` (offline/online enhancement), ``gccnmf-realtime``
+(headless app / GUI), and ``gccnmf-serve`` (multi-stream serving). The
+benchmark harness is ``bench.py`` at the repository root.
 """
 
 from __future__ import annotations

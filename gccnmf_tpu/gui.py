@@ -65,8 +65,20 @@ class RealtimeGCCNMFWindow:
         self.canvas.get_tk_widget().pack(side=tk.TOP, fill=tk.BOTH, expand=1)
 
         self._build_controls(tk)
+        # keyboard shortcuts (reference gccNMFInterface.py keyboard handling):
+        # space = play/pause, s = separation toggle, l = localization toggle
+        self.root.bind("<space>", lambda _e: self.toggle_play())
+        self.root.bind("s", lambda _e: self._toggle_check(self.sep_var,
+                       lambda v: self.app.set_separation_enabled(v)))
+        self.root.bind("l", lambda _e: self._toggle_check(self.loc_var,
+                       lambda v: self.app.set_localization(v)))
         self._images = {}
         self.root.after(_REFRESH_MS, self._refresh)
+
+    @staticmethod
+    def _toggle_check(var, setter):
+        var.set(not var.get())
+        setter(var.get())
 
     # --------------------------------------------------------------- widgets
 
