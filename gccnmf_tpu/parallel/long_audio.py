@@ -1,0 +1,246 @@
+"""Sequence-parallel offline separation for long audio.
+
+The single-device offline pipeline holds the whole utterance's
+spectrograms, NMF state and per-target reconstructions in one chip's HBM —
+fine for 10 s clips, impossible for hour-scale recordings. This module
+shards the **time axis** across the mesh (the workload's analogue of
+context/sequence parallelism, SURVEY.md §2.3/§5): every stage is
+frame-local except three global couplings, each handled with the cheapest
+possible collective:
+
+- KL-NMF dictionary statistics → per-iteration ``psum`` over time shards
+  (gccnmf_tpu.parallel.nmf_sharded);
+- localization → one ``psum`` of per-shard angular-spectrum sums;
+- ISTFT overlap-add seams → one ``ppermute`` halo exchange of the
+  ``window - hop`` samples that straddle each shard boundary.
+
+Host I/O is chunked: each shard receives exactly the samples its frames
+cover (frames never straddle shards — the halo lives in the *input* chunk
+overlap and the *output* seam exchange, both of size ``window - hop``).
+
+NMF parity note: the sharded V row order interleaves (left, right) frame
+blocks per shard instead of the reference's global left‖right
+concatenation (runGCCNMF.py:40). Because every H row follows its V row
+through the multiplicative updates and W's statistics are row-order
+invariant, feeding the seeded H0 through the same row permutation makes
+the result exactly equivalent (up to psum reduction order); the
+equivalence against the single-device pipeline is pinned in
+tests/test_long_audio.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gccnmf_tpu.models.offline import OfflineConfig, stft_gain
+from gccnmf_tpu.ops import gcc, localize, masks, nmf, stft as stft_ops
+from gccnmf_tpu.ops import windows as win_ops
+from gccnmf_tpu.parallel import mesh as mesh_lib
+from gccnmf_tpu.parallel.nmf_sharded import kl_nmf_sharded
+from gccnmf_tpu.utils import wav
+
+__all__ = ["LongAudioSeparator"]
+
+
+class LongAudioSeparator:
+    """Time-sharded end-to-end GCC-NMF separation over a data mesh."""
+
+    def __init__(self, config: OfflineConfig = OfflineConfig(), mesh=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()
+        if self.mesh.shape.get("model", 1) != 1:
+            raise ValueError("LongAudioSeparator uses a data-only mesh")
+        self.num_shards = self.mesh.shape["data"]
+        self._stft_method = config.resolved_stft_method()
+        self._window = win_ops.hann_symmetric(config.window_size)
+        self._cos_sin = gcc.steering_cos_sin(
+            float(config.sample_rate),
+            config.num_freq,
+            config.mic_separation_m,
+            config.num_tdoas,
+        )
+
+    # ------------------------------------------------------------- stage A
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _analyze_shards(self, chunks: jax.Array):
+        """(S, 2, chunk_len) sample chunks → sharded spec/coh/V/ang-sum."""
+        cfg = self.config
+
+        def local(chunk):
+            spec = stft_ops.stft(
+                chunk[0], self._window, cfg.hop_size, conjugate=True,
+                method=self._stft_method,
+            )  # (2, T_s, F)
+            coh = gcc.coherence(spec)  # (T_s, F)
+            v = jnp.concatenate([jnp.abs(spec[0]), jnp.abs(spec[1])], axis=0)
+            ang = gcc.angular_spectrogram(coh, *self._cos_sin)  # (T_s, D)
+            ang_sum = jax.lax.psum(jnp.sum(ang, axis=0), "data")  # (D,)
+            return spec[None], coh[None], v[None], ang_sum
+
+        spec, coh, v, ang_sum = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=P("data"),
+            out_specs=(P("data"), P("data"), P("data"), P()),
+            check_vma=False,
+        )(chunks)
+        return spec, coh, v, ang_sum
+
+    # ------------------------------------------------------------- stage D
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reconstruct_shards(self, spec, coh, h_sharded, w, targets):
+        """Masked reconstruction + local ISTFT + ppermute seam exchange.
+
+        Returns (owned, tails): ``owned`` (S, N, 2, T_s*hop) is each
+        shard's settled output samples; ``tails`` (S, N, 2, window-hop)
+        are the trailing seams — only the final shard's is appended.
+        """
+        cfg = self.config
+        window = jnp.asarray(self._window, jnp.float32)
+        win_len, hop = cfg.window_size, cfg.hop_size
+        overlap = win_len - hop
+        s = self.num_shards
+
+        def local(spec_l, coh_l, h_l, w_l, targets_l):
+            spec0, coh0, h0 = spec_l[0], coh_l[0], h_l[0]  # (2,T_s,F),(T_s,F),(2,T_s,K)
+            scores = masks.target_attribution(
+                coh0, *self._cos_sin, targets_l, w_l
+            )
+            coef = masks.hard_coefficient_masks(scores)  # (N, T_s, K)
+            spec_est = masks.masked_reconstruction(coef, spec0, w_l, h0)
+            # local inverse transform (mirrors ops.stft.istft's frame path)
+            sp = jnp.conj(spec_est)
+            if self._stft_method == "matmul":
+                a, b = stft_ops.idft_matrices(win_len)
+                frames = jnp.matmul(
+                    jnp.real(sp), a, precision=stft_ops._HIGHEST()
+                ) + jnp.matmul(jnp.imag(sp), b, precision=stft_ops._HIGHEST())
+            else:
+                frames = jnp.fft.irfft(sp, n=win_len, axis=-1).astype(jnp.float32)
+            y = stft_ops.overlap_add(frames * window, hop)  # (N, 2, L_out)
+            t_s = spec0.shape[-2]
+            own_len = t_s * hop
+            tail = y[..., own_len:]  # (N, 2, overlap)
+            recv = jax.lax.ppermute(
+                tail, "data", [(i, i + 1) for i in range(s - 1)]
+            )
+            own = y[..., :own_len].at[..., :overlap].add(recv)
+            return own[None], tail[None]
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(spec, coh, h_sharded, w, targets)
+
+    # -------------------------------------------------------------- driver
+
+    def separate(self, stereo: np.ndarray, num_sources: int | None = None):
+        """Separate ``(2, n)`` audio of arbitrary length across the mesh.
+
+        Output matches :meth:`GCCNMFSeparator.separate` on the processed
+        region (the trailing partial frames that don't fill every shard
+        equally — at most ``num_shards·hop`` samples — are dropped).
+        """
+        cfg = self.config
+        s = self.num_shards
+        num_sources = num_sources or cfg.num_sources or 3
+        window, hop = cfg.window_size, cfg.hop_size
+
+        t_total = stft_ops.num_frames(stereo.shape[-1], window, hop)
+        t_s = t_total // s
+        if t_s * hop < window - hop:
+            raise ValueError(
+                f"audio too short to shard {s} ways: {t_s} frames/shard"
+            )
+        t = t_s * s  # frames actually processed
+
+        # per-shard sample chunks, overlapping by window-hop at each seam
+        chunk_len = (t_s - 1) * hop + window
+        chunks = np.stack(
+            [
+                stereo[:, i * t_s * hop : i * t_s * hop + chunk_len]
+                for i in range(s)
+            ]
+        ).astype(np.float32)  # (S, 2, chunk_len)
+        chunks_sh = jax.device_put(
+            chunks, NamedSharding(self.mesh, P("data"))
+        )
+
+        spec, coh, v, ang_sum = self._analyze_shards(chunks_sh)
+        v2 = v.reshape(2 * t, cfg.num_freq)  # (S·2T_s, F) still time-sharded
+
+        # seeded init in the reference's left‖right row order, permuted into
+        # the shard-interleaved order so every H row rides with its V row
+        w0, h0_ref = nmf.nmf_init_numpy(
+            cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon
+        )
+        perm = np.empty(2 * t, np.int64)
+        for i in range(s):
+            rows = slice(i * 2 * t_s, (i + 1) * 2 * t_s)
+            left = np.arange(i * t_s, (i + 1) * t_s)
+            perm[rows] = np.concatenate([left, t + left])
+        h0 = h0_ref[perm]
+
+        w0_sh = jax.device_put(w0, NamedSharding(self.mesh, P(None, "model")))
+        h0_sh = jax.device_put(h0, NamedSharding(self.mesh, P("data", None)))
+        w, h = kl_nmf_sharded(
+            v2, w0_sh, h0_sh, cfg.num_iterations, self.mesh,
+            cfg.sparsity_alpha, cfg.epsilon,
+        )
+
+        mean_ang = np.asarray(ang_sum) / t
+        targets = localize.estimate_target_tdoa_indexes(mean_ang, num_sources)
+        targets_dev = jnp.asarray(np.asarray(targets, np.int32))
+
+        h_sharded = h.reshape(s, 2, t_s, cfg.dictionary_size)
+        owned, tails = self._reconstruct_shards(
+            spec, coh, h_sharded, w, targets_dev
+        )
+
+        owned_np = np.asarray(owned)  # (S, N, 2, T_s*hop)
+        tails_np = np.asarray(tails)
+        full = np.concatenate(
+            [owned_np[i] for i in range(s)], axis=-1
+        )  # (N, 2, T*hop)
+        full = np.concatenate([full, tails_np[-1]], axis=-1)
+        half = window // 2
+        est = full[..., half:-half] * stft_gain(cfg)
+        return dict(
+            estimates=est.astype(np.float32),
+            target_tdoa_indexes=targets,
+            w=np.asarray(w),
+            mean_angular_spectrum=mean_ang,
+            frames_processed=t,
+        )
+
+    def separate_file(self, mixture_path: str, output_prefix: str | None = None):
+        stereo, sr = wav.read_wav(mixture_path)
+        sep = self
+        if sr != self.config.sample_rate:
+            sep = LongAudioSeparator(
+                replace(self.config, sample_rate=sr), self.mesh
+            )
+        result = sep.separate(stereo)
+        prefix = output_prefix or (
+            mixture_path[: -len("_mix.wav")]
+            if mixture_path.endswith("_mix.wav")
+            else mixture_path.rsplit(".", 1)[0]
+        )
+        paths = []
+        for i, est in enumerate(result["estimates"]):
+            path = f"{prefix}_sim_{i + 1}.wav"
+            wav.write_wav(est, path, sr)
+            paths.append(path)
+        result["paths"] = paths
+        return result

@@ -1,0 +1,109 @@
+"""Sequence-parallel long-audio separation vs the single-device pipeline.
+
+Runs on the 8-device virtual CPU mesh (tests/conftest.py). The sharded
+pipeline must reproduce the single-device separator: same localized
+targets, same dictionary (up to psum reduction-order drift), waveforms
+matching to high SNR across the ppermute-stitched shard seams.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gccnmf_tpu.metrics import snr
+from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+from gccnmf_tpu.ops import stft as stft_ops
+from gccnmf_tpu.parallel import mesh as mesh_lib
+from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
+
+
+def _two_source_mix(num_frames, window=1024, hop=128, sr=16000, seed=0):
+    """Stereo mixture whose STFT has exactly ``num_frames`` frames."""
+    n = (num_frames - 1) * hop + window
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(seed)
+
+    def source(seed_, rate):
+        g = np.random.default_rng(seed_)
+        return g.standard_normal(n) * (0.5 + 0.5 * np.sin(2 * np.pi * rate * t))
+
+    s1, s2 = source(1, 3.0), source(2, 7.0)
+    d = 4
+    left = s1 + np.roll(s2, d)
+    right = np.roll(s1, d) + s2
+    return (0.2 * np.stack([left, right])).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return OfflineConfig(
+        num_iterations=30,
+        dictionary_size=32,
+        num_tdoas=64,
+        num_sources=2,
+        mic_separation_m=0.5,
+    )
+
+
+class TestLongAudioSeparator:
+    def test_matches_single_device(self, cfg):
+        stereo = _two_source_mix(8 * 40)  # 320 frames: 40 per shard
+        single = GCCNMFSeparator(cfg).separate(stereo, num_sources=2)
+        mesh = mesh_lib.data_parallel_mesh()
+        assert mesh.shape["data"] == 8
+        sharded = LongAudioSeparator(cfg, mesh).separate(stereo, num_sources=2)
+
+        assert list(sharded["target_tdoa_indexes"]) == list(
+            single["target_tdoa_indexes"]
+        )
+        # dictionary equal up to psum reduction-order drift
+        np.testing.assert_allclose(
+            sharded["w"], single["w"], rtol=5e-2, atol=1e-4
+        )
+        est_s, est_1 = sharded["estimates"], single["estimates"]
+        assert est_s.shape == est_1.shape
+        for i in range(est_1.shape[0]):
+            s = snr(est_1[i], est_s[i])
+            assert s > 40.0, f"target {i}: waveform SNR {s:.1f} dB across seams"
+
+    def test_seam_continuity(self, cfg):
+        """No discontinuity artifacts at shard boundaries: the stitched
+        output's seam-neighborhood energy matches the single-device run."""
+        stereo = _two_source_mix(8 * 32)
+        single = GCCNMFSeparator(cfg).separate(stereo, num_sources=2)
+        sharded = LongAudioSeparator(cfg).separate(stereo, num_sources=2)
+        hop, window = cfg.hop_size, cfg.window_size
+        t_s = 32  # frames per shard
+        half = window // 2
+        scale = float(np.abs(single["estimates"]).max())
+        for b in range(1, 8):  # every shard boundary
+            seam = b * t_s * hop - half  # boundary sample in trimmed output
+            lo, hi = max(seam - window, 0), seam + window
+            a = sharded["estimates"][:, :, lo:hi]
+            r = single["estimates"][:, :, lo:hi]
+            np.testing.assert_allclose(a, r, atol=2e-3 * scale)
+
+    def test_trims_ragged_frames(self, cfg):
+        """Frame counts that don't divide the mesh are trimmed, not fatal."""
+        stereo = _two_source_mix(8 * 24 + 5)
+        result = LongAudioSeparator(cfg).separate(stereo, num_sources=2)
+        assert result["frames_processed"] == 8 * 24
+        n_expected = 8 * 24 * cfg.hop_size + (cfg.window_size - cfg.hop_size)
+        assert result["estimates"].shape[-1] == n_expected - cfg.window_size
+
+    def test_too_short_raises(self, cfg):
+        with pytest.raises(ValueError):
+            LongAudioSeparator(cfg).separate(_two_source_mix(8), num_sources=2)
+
+    def test_separate_file_roundtrip(self, cfg, tmp_path):
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(8 * 24)
+        path = str(tmp_path / "long_mix.wav")
+        wavio.write_wav(stereo, path, 16000)
+        result = LongAudioSeparator(cfg).separate_file(path)
+        assert len(result["paths"]) == 2
+        for p in result["paths"]:
+            x, sr = wavio.read_wav(p)
+            assert np.isfinite(x).all() and x.shape[0] == 2
