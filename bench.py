@@ -170,9 +170,28 @@ def bench_offline_numpy(stereo, sr, quick: bool):
     if quick:
         kwargs.update(dictionary_size=32, num_iterations=10, num_tdoas=64)
     t0 = time.perf_counter()
-    numpy_ref.separate_ref(stereo, sr, **kwargs)
+    ref = numpy_ref.separate_ref(stereo, sr, **kwargs)
     elapsed = time.perf_counter() - t0
-    return (stereo.shape[-1] / sr) / elapsed
+    return (stereo.shape[-1] / sr) / elapsed, ref
+
+
+def quality_vs_oracle(stereo, sr, ref, quick: bool):
+    """Min per-source waveform SNR of the TPU pipeline vs the NumPy oracle
+    — the parity evidence recorded with every benchmark run."""
+    from gccnmf_tpu.metrics import snr
+    from gccnmf_tpu.models.offline import GCCNMFSeparator
+
+    cfg = _offline_cfg(sr, quick)
+    result = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
+    tpu_est = result["estimates"]
+    ref_est = np.asarray(ref["estimates"])
+    if list(result["target_tdoa_indexes"]) != list(ref["targets"]):
+        return None  # different localization: SNR comparison meaningless
+    n = min(tpu_est.shape[-1], ref_est.shape[-1])
+    return min(
+        snr(ref_est[i][..., :n], tpu_est[i][..., :n])
+        for i in range(ref_est.shape[0])
+    )
 
 
 def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
@@ -268,8 +287,13 @@ def main():
     device_ms, p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
+        quality_db = None
     else:
-        numpy_throughput = bench_offline_numpy(stereo, sr, args.quick)
+        numpy_throughput, ref = bench_offline_numpy(stereo, sr, args.quick)
+        try:
+            quality_db = quality_vs_oracle(stereo, sr, ref, args.quick)
+        except Exception:
+            quality_db = None
 
     result = {
         "metric": "offline separation throughput",
@@ -284,6 +308,9 @@ def main():
         "realtime_factor": round(tpu_throughput, 2),
         "with_host_io_audio_s_per_s": round(host_io_throughput, 2),
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
+        "quality_min_snr_vs_numpy_oracle_db": (
+            round(quality_db, 1) if quality_db is not None else None
+        ),
         "streaming_device_ms_per_block": round(device_ms, 3),
         "streaming_realtime_factor": round(stream_rt, 1),
         "streaming_64streams_aggregate_rt_factor": round(multi_rt, 1),

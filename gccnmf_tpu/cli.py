@@ -35,6 +35,9 @@ def separate_main(argv=None):
     ap.add_argument("--dictionary-size", type=int, default=128)
     ap.add_argument("--num-iterations", type=int, default=100)
     ap.add_argument("--sparsity-alpha", type=float, default=0.0)
+    ap.add_argument("--time-shards", type=int, default=0,
+                    help="shard the time axis over N mesh devices "
+                         "(sequence-parallel long-audio pipeline)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -55,7 +58,20 @@ def separate_main(argv=None):
         num_sources=None if args.auto_sources else args.num_sources,
         sample_rate=sr,
     )
-    result = GCCNMFSeparator(cfg).separate_file(args.input, args.output_prefix)
+    if args.time_shards:
+        import jax
+
+        from gccnmf_tpu.parallel import mesh as mesh_lib
+        from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
+
+        mesh = mesh_lib.make_mesh(
+            data=args.time_shards, model=1,
+            devices=jax.devices()[: args.time_shards],
+        )
+        separator = LongAudioSeparator(cfg, mesh)
+    else:
+        separator = GCCNMFSeparator(cfg)
+    result = separator.separate_file(args.input, args.output_prefix)
     print(
         json.dumps(
             dict(

@@ -133,3 +133,20 @@ def test_multi_stream_serving_example(mix_wav, tmp_path, monkeypatch, capsys):
     assert len(written) == 3
     for p in written:
         _check_audio(p)
+
+
+def test_long_audio_separation_example(mix_wav, tmp_path, monkeypatch, capsys):
+    prefix = str(tmp_path / "long")
+    _run_example(
+        "long_audio_separation",
+        [mix_wav, "--num-sources", "2", "--shards", "4",
+         "--num-iterations", "10", "--dictionary-size", "32",
+         "-o", prefix],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "4 time shards" in out
+    written = [l.split()[1] for l in out.splitlines() if l.startswith("wrote ")]
+    assert len(written) == 2
+    for p in written:
+        _check_audio(p)
