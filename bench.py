@@ -175,14 +175,28 @@ def bench_offline_numpy(stereo, sr, quick: bool):
     return (stereo.shape[-1] / sr) / elapsed, ref
 
 
-def quality_vs_oracle(stereo, sr, ref, quick: bool):
+def quality_vs_oracle(stereo, sr, ref, quick: bool, parity_mode: bool = False):
     """Min per-source waveform SNR of the TPU pipeline vs the NumPy oracle
-    — the parity evidence recorded with every benchmark run."""
+    — the parity evidence recorded with every benchmark run.
+
+    ``parity_mode=True`` runs the slow exact-numerics configuration
+    (f32 NMF trajectory + Precision.HIGHEST GEMMs) instead of the
+    throughput default."""
+    import dataclasses
+
     from gccnmf_tpu.metrics import snr
     from gccnmf_tpu.models.offline import GCCNMFSeparator
+    from gccnmf_tpu.ops import xprec
 
     cfg = _offline_cfg(sr, quick)
-    result = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
+    old_level = xprec.current_level()
+    if parity_mode:
+        cfg = dataclasses.replace(cfg, nmf_matmul_dtype="float32")
+        xprec.set_matmul_precision("highest")
+    try:
+        result = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
+    finally:
+        xprec.set_matmul_precision(old_level)
     tpu_est = result["estimates"]
     ref_est = np.asarray(ref["estimates"])
     if list(result["target_tdoa_indexes"]) != list(ref["targets"]):
@@ -292,8 +306,11 @@ def main():
         numpy_throughput, ref = bench_offline_numpy(stereo, sr, args.quick)
         try:
             quality_db = quality_vs_oracle(stereo, sr, ref, args.quick)
+            parity_db = quality_vs_oracle(
+                stereo, sr, ref, args.quick, parity_mode=True
+            )
         except Exception:
-            quality_db = None
+            quality_db = parity_db = None
 
     result = {
         "metric": "offline separation throughput",
@@ -310,6 +327,9 @@ def main():
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
         "quality_min_snr_vs_numpy_oracle_db": (
             round(quality_db, 1) if quality_db is not None else None
+        ),
+        "quality_parity_mode_snr_db": (
+            round(parity_db, 1) if parity_db is not None else None
         ),
         "streaming_device_ms_per_block": round(device_ms, 3),
         "streaming_realtime_factor": round(stream_rt, 1),
