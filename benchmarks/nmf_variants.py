@@ -1,0 +1,147 @@
+"""Microbenchmark: NMF Pallas kernel GEMM formulations.
+
+Compares the shipped kernel against a dot_general formulation that avoids
+materializing ``q.T`` (a (T, F) VMEM transpose per iteration) and ``w.T``,
+by expressing the transposed GEMMs with contraction dimension numbers the
+MXU consumes directly.
+
+Run on TPU; prints one JSON line per variant.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dg(a, b, dims, md):
+    return jax.lax.dot_general(
+        a.astype(md), b.astype(md), (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _nmf_kernel_dg(num_iterations, sparsity_alpha, epsilon, matmul_dtype,
+                   v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    v = v_ref[:]
+    md = jnp.dtype(matmul_dtype)
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def body(_, wh):
+        w, h = wh
+        # (T,K)·(F,K) contracting K ≡ h @ w.T, no transpose materialized
+        q = safe_div(v, _dg(h, w, ((1,), (1,)), md))
+        h = h * _dg(q, w, ((1,), (0,)), md) / (
+            jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
+        )
+        q = safe_div(v, _dg(h, w, ((1,), (1,)), md))
+        # (T,F)·(T,K) contracting T ≡ q.T @ h, no transpose materialized
+        num = _dg(q, h, ((0,), (0,)), md)
+        w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms
+
+    w, h = jax.lax.fori_loop(0, num_iterations, body, (w0_ref[:], h0_ref[:]))
+    w_out_ref[:] = w
+    h_out_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def kl_nmf_dg(v, w0, h0, num_iterations):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gccnmf_tpu.ops.nmf_pallas import pad_to_multiple
+
+    eps = 1e-16
+    b, t, f = v.shape
+    k = w0.shape[-1]
+    v2, _ = pad_to_multiple(v.astype(jnp.float32), 1, 8, eps)
+    v2, _ = pad_to_multiple(v2, 2, 128, eps)
+    w2, _ = pad_to_multiple(w0.astype(jnp.float32), 1, 128, eps)
+    w2, _ = pad_to_multiple(w2, 2, 128, eps)
+    h2, _ = pad_to_multiple(h0.astype(jnp.float32), 1, 8, eps)
+    h2, _ = pad_to_multiple(h2, 2, 128, eps)
+    tp, fp = v2.shape[1:]
+    kp = w2.shape[2]
+
+    kernel = functools.partial(_nmf_kernel_dg, num_iterations, 0.0, eps,
+                               "bfloat16")
+    spec3 = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_out, h_out = pl.pallas_call(
+        lambda v_r, w_r, h_r, wo_r, ho_r: kernel(
+            v_r.at[0], w_r.at[0], h_r.at[0], wo_r.at[0], ho_r.at[0]
+        ),
+        grid=(b,),
+        in_specs=[spec3((tp, fp)), spec3((fp, kp)), spec3((tp, kp))],
+        out_specs=(spec3((fp, kp)), spec3((tp, kp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, kp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(v2, w2, h2)
+    return w_out[:, :f, :k], h_out[:, :t, :k]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from gccnmf_tpu.ops import nmf
+    from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
+
+    t, f, k = 2500, 513, 128
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(np.abs(rng.standard_normal((args.batch, t, f))).astype(np.float32) + 1e-3)
+    w0, h0 = nmf.nmf_init_numpy(f, k, t)
+    w0 = jnp.broadcast_to(jnp.asarray(w0), (args.batch, f, k))
+    h0 = jnp.broadcast_to(jnp.asarray(h0), (args.batch, t, k))
+
+    def fence(out):
+        # block_until_ready returns early through the axon tunnel; a
+        # 1-element fetch cannot complete before the program does.
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf.ravel()[:1])
+
+    def timed(fn):
+        out = fn()
+        fence(out)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            out = fn()
+            fence(out)
+        return (time.perf_counter() - t0) / args.repeats, out
+
+    dt0, (w_a, h_a) = timed(lambda: kl_nmf_pallas(v, w0, h0, args.iters))
+    print(json.dumps(dict(variant="shipped(jnp.dot+T)", ms=round(dt0 * 1e3, 2))))
+
+    dt1, (w_b, h_b) = timed(lambda: kl_nmf_dg(v, w0, h0, args.iters))
+    print(json.dumps(dict(variant="dot_general", ms=round(dt1 * 1e3, 2),
+                          speedup=round(dt0 / dt1, 3))))
+
+    rel = float(jnp.max(jnp.abs(w_a - w_b) / (jnp.abs(w_a) + 1e-12)))
+    print(json.dumps(dict(check="max_rel_w_diff", value=rel)))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
