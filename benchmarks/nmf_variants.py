@@ -100,6 +100,94 @@ def kl_nmf_dg(v, w0, h0, num_iterations):
     return w_out[:, :f, :k], h_out[:, :t, :k]
 
 
+def _nmf_kernel_fmajor(num_iterations, sparsity_alpha, epsilon, matmul_dtype,
+                       v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    """F-major layout: V (F,T), W (F,K), H (K,T).
+
+    F sits in the sublane (second-minor) dim so its pad is ×8 (513→520)
+    instead of ×128 (513→640): ~17% fewer MXU flops and VPU elementwise
+    lanes per iteration at the reference shape.
+
+    MEASURED (v5e, batch 128 × 100 iters): 961 ms vs 259 ms shipped —
+    3.7× SLOWER despite the flop savings. Mosaic lowers the (K,T)-output
+    GEMMs and the sublane-broadcast denominators far worse than the
+    T-major orientation; kept here as a documented negative result.
+    """
+    v = v_ref[:]
+    md = jnp.dtype(matmul_dtype)
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def body(_, wh):
+        w, h = wh
+        # WH: (F,K)·(K,T) → (F,T)
+        q = safe_div(v, _dg(w, h, ((1,), (0,)), md))
+        # H numerator: Wᵀ·q → (K,T), contracting F
+        h = h * _dg(w, q, ((0,), (0,)), md) / (
+            jnp.sum(w, axis=0)[:, None] + sparsity_alpha + epsilon
+        )
+        q = safe_div(v, _dg(w, h, ((1,), (0,)), md))
+        # W numerator: q·Hᵀ → (F,K), contracting T
+        num = _dg(q, h, ((1,), (1,)), md)
+        w = w * safe_div(num, jnp.sum(h, axis=1)[None, :])
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms.reshape(-1, 1)
+
+    w, h = jax.lax.fori_loop(0, num_iterations, body, (w0_ref[:], h0_ref[:]))
+    w_out_ref[:] = w
+    h_out_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def kl_nmf_fmajor(v, w0, h0, num_iterations):
+    """v: (B,T,F), w0: (B,F,K), h0: (B,T,K) — transposed to F-major at the
+    boundary (one-time XLA transposes, not per-iteration)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gccnmf_tpu.ops.nmf_pallas import pad_to_multiple
+
+    eps = 1e-16
+    b, t, f = v.shape
+    k = w0.shape[-1]
+    v2 = jnp.swapaxes(v.astype(jnp.float32), 1, 2)      # (B,F,T)
+    h2 = jnp.swapaxes(h0.astype(jnp.float32), 1, 2)     # (B,K,T)
+    w2 = w0.astype(jnp.float32)                          # (B,F,K)
+    v2, _ = pad_to_multiple(v2, 1, 8, eps)
+    v2, _ = pad_to_multiple(v2, 2, 128, eps)
+    w2, _ = pad_to_multiple(w2, 1, 8, eps)
+    w2, _ = pad_to_multiple(w2, 2, 128, eps)
+    h2, _ = pad_to_multiple(h2, 1, 8, eps)
+    h2, _ = pad_to_multiple(h2, 2, 128, eps)
+    fp, tp = v2.shape[1:]
+    kp = w2.shape[2]
+
+    kernel = functools.partial(_nmf_kernel_fmajor, num_iterations, 0.0, eps,
+                               "bfloat16")
+    spec3 = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_out, h_out = pl.pallas_call(
+        lambda v_r, w_r, h_r, wo_r, ho_r: kernel(
+            v_r.at[0], w_r.at[0], h_r.at[0], wo_r.at[0], ho_r.at[0]
+        ),
+        grid=(b,),
+        in_specs=[spec3((fp, tp)), spec3((fp, kp)), spec3((kp, tp))],
+        out_specs=(spec3((fp, kp)), spec3((kp, tp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, kp, tp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(v2, w2, h2)
+    return w_out[:, :f, :k], jnp.swapaxes(h_out[:, :k, :t], 1, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -141,6 +229,12 @@ def main():
 
     rel = float(jnp.max(jnp.abs(w_a - w_b) / (jnp.abs(w_a) + 1e-12)))
     print(json.dumps(dict(check="max_rel_w_diff", value=rel)))
+
+    dt2, (w_c, h_c) = timed(lambda: kl_nmf_fmajor(v, w0, h0, args.iters))
+    print(json.dumps(dict(variant="f_major", ms=round(dt2 * 1e3, 2),
+                          speedup=round(dt0 / dt2, 3))))
+    rel_c = float(jnp.max(jnp.abs(w_a - w_c) / (jnp.abs(w_a) + 1e-12)))
+    print(json.dumps(dict(check="max_rel_w_diff_fmajor", value=rel_c)))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,12 @@ class OfflineConfig:
     # — >130 dB SI-SDR agreement with the f32 trajectory e2e), "float32"
     # (Precision.HIGHEST) for trajectory parity with the oracle
     nmf_matmul_dtype: str = "bfloat16"
+    # Reconstruction tail: "pallas" fuses mask → magnitudes → mixture phase
+    # → windowed iDFT → overlap-add into one VMEM-resident kernel
+    # (ops/synthesis_pallas.py); "xla" is the composable reference
+    # formulation. The Pallas path follows nmf_matmul_dtype for its GEMM
+    # numerics (bf16 throughput vs f32/HIGHEST parity).
+    synthesis_backend: str = "auto"  # "auto" | "xla" | "pallas"
     epsilon: float = 1e-16
 
     @property
@@ -78,6 +84,14 @@ class OfflineConfig:
 
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    def resolved_synthesis_backend(self) -> str:
+        """'auto' → the fused synthesis kernel on TPU, XLA elsewhere."""
+        if self.synthesis_backend != "auto":
+            return self.synthesis_backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
 
 def stft_gain(cfg: OfflineConfig) -> float:
     """The reference's constant reconstruction gain hop/window*2
@@ -92,6 +106,7 @@ class GCCNMFSeparator:
         self.config = config
         self._stft_method = config.resolved_stft_method()
         self._nmf_backend = config.resolved_nmf_backend()
+        self._synthesis_backend = config.resolved_synthesis_backend()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -153,6 +168,57 @@ class GCCNMFSeparator:
         )
         return est * stft_gain(cfg), coef_masks
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reconstruct_batched(
+        self,
+        spec: jax.Array,
+        coh: jax.Array,
+        w: jax.Array,
+        h: jax.Array,
+        target_indexes: jax.Array,
+    ) -> jax.Array:
+        """Batched reconstruction tail → (B, N, 2, n_out) waveforms.
+
+        ``spec``: (B, 2, T, F); ``coh``: (B, T, F); ``w``: (B, F, K);
+        ``h``: (B, 2T, K); ``target_indexes``: (B, N). On the Pallas path
+        the flat-GEMM attribution argmax feeds the fused synthesis kernel
+        directly — neither one-hot masks nor the complex per-target
+        spectrogram estimates are ever materialized.
+        """
+        cfg = self.config
+        t = spec.shape[-2]
+        h_stereo = jnp.stack([h[..., :t, :], h[..., t:, :]], axis=-3)
+        if self._synthesis_backend == "pallas":
+            from gccnmf_tpu.ops.synthesis_pallas import masked_synthesis_pallas
+
+            winner = masks.attribution_winner(
+                coh, *self._cos_sin, target_indexes, w
+            )
+            return masked_synthesis_pallas(
+                spec,
+                winner,
+                w,
+                h_stereo,
+                self._window,
+                num_targets=target_indexes.shape[-1],
+                hop_size=cfg.hop_size,
+                gain=stft_gain(cfg),
+                matmul_dtype=cfg.nmf_matmul_dtype,
+            )
+        est, _ = jax.vmap(self._reconstruct)(spec, coh, w, h, target_indexes)
+        return est
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _coef_masks_jit(self, coh, target_indexes, w):
+        """(N, T, K) one-hot coefficient masks for the user-facing result
+        dict (equivalent to hard_coefficient_masks ∘ target_attribution)."""
+        winner = masks.attribution_winner(
+            coh[None], *self._cos_sin, target_indexes[None], w[None]
+        )[0]
+        return jax.nn.one_hot(
+            winner, target_indexes.shape[-1], axis=0, dtype=jnp.float32
+        )
+
     # ---- public API -------------------------------------------------------
 
     def separate(self, stereo: np.ndarray, num_sources: int | None = None):
@@ -170,9 +236,16 @@ class GCCNMFSeparator:
         )
         mean_ang = np.asarray(gcc.mean_angular_spectrum(ang))
         targets = localize.estimate_target_tdoa_indexes(mean_ang, num_sources)
-        estimates, coef_masks = self._reconstruct(
-            spec, coh, w, h, jnp.asarray(np.asarray(targets, np.int32))
-        )
+        targets_arr = jnp.asarray(np.asarray(targets, np.int32))
+        if self._synthesis_backend == "pallas":
+            estimates = self._reconstruct_batched(
+                spec[None], coh[None], w[None], h[None], targets_arr[None]
+            )[0]
+            coef_masks = self._coef_masks_jit(coh, targets_arr, w)
+        else:
+            estimates, coef_masks = self._reconstruct(
+                spec, coh, w, h, targets_arr
+            )
         return dict(
             estimates=np.asarray(estimates),
             target_tdoa_indexes=targets,
@@ -217,9 +290,14 @@ class GCCNMFSeparator:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _separate_batch_jit(self, stereo, w0, h0, num_sources):
-        return jax.vmap(
-            lambda s, wi, hi: self._separate_one(s, wi, hi, num_sources)
-        )(stereo, w0, h0)
+        spec, w, h, coh, ang = jax.vmap(self._analyze)(stereo, w0, h0)
+        targets = jax.vmap(
+            lambda a: localize.top_k_peaks(
+                gcc.mean_angular_spectrum(a), num_sources
+            )
+        )(ang)
+        est = self._reconstruct_batched(spec, coh, w, h, targets)
+        return est, targets
 
     def separate_batch(self, stereo_batch: np.ndarray, num_sources: int | None = None):
         """Fully on-device separation of a batch ``(B, 2, n)`` (vmapped,

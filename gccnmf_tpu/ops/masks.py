@@ -22,6 +22,7 @@ import numpy as np
 
 __all__ = [
     "target_attribution",
+    "attribution_winner",
     "hard_coefficient_masks",
     "masked_reconstruction",
     "soft_tdoa_coefficient_mask",
@@ -57,6 +58,43 @@ def target_attribution(
         + jnp.imag(coh)[..., None, :, :] * sin_sel.T[:, None, :]
     )
     return jnp.matmul(re, w, precision=_HIGHEST())  # (N, T, K)
+
+
+def attribution_winner(
+    coh: jax.Array,
+    cos_m: jax.Array | np.ndarray,
+    sin_m: jax.Array | np.ndarray,
+    target_indexes: jax.Array,
+    w: jax.Array,
+) -> jax.Array:
+    """Batched per-(frame, atom) winning-target index ``(B, T, K)`` int32.
+
+    Same scores as :func:`target_attribution` but computed as two flat
+    GEMMs ``(T, F) x (F, N·K)`` with the steering columns folded into the
+    dictionary — the (B, N, T, F) broadcast intermediate that formulation
+    materializes (~1 GB at the bench shape) never exists. The argmax over
+    targets is taken immediately, so downstream consumers (the Pallas
+    synthesis kernel) never materialize one-hot masks either.
+
+    ``coh``: (B, T, F) complex; ``target_indexes``: (B, N) int;
+    ``w``: (B, F, K).
+    """
+    cos_sel = jnp.swapaxes(
+        jnp.asarray(cos_m).T[jnp.asarray(target_indexes)], -1, -2
+    )  # (B, F, N)
+    sin_sel = jnp.swapaxes(
+        jnp.asarray(sin_m).T[jnp.asarray(target_indexes)], -1, -2
+    )
+    b, f, n = cos_sel.shape
+    k = w.shape[-1]
+    cw = (cos_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
+    sw = (sin_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
+    flat = jnp.matmul(
+        jnp.real(coh), cw, precision=_HIGHEST()
+    ) + jnp.matmul(jnp.imag(coh), sw, precision=_HIGHEST())
+    scores = flat.reshape(*coh.shape[:-1], n, k)  # (B, T, N, K)
+    safe = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    return jnp.argmax(safe, axis=-2).astype(jnp.int32)  # (B, T, K)
 
 
 def hard_coefficient_masks(scores: jax.Array) -> jax.Array:
