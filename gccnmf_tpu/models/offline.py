@@ -340,6 +340,7 @@ class GCCNMFEnhancer:
         self.noise_floor = noise_floor
         self.num_h_updates = num_h_updates
         self._stft_method = config.resolved_stft_method()
+        self._synthesis_backend = config.resolved_synthesis_backend()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -358,6 +359,26 @@ class GCCNMFEnhancer:
         coh = gcc.coherence(spec)
         ang = gcc.angular_spectrogram(coh, *self._cos_sin)  # (..., T, D)
         target_idx = jnp.argmax(gcc.mean_angular_spectrum(ang), axis=-1)
+
+        if self._synthesis_backend == "pallas":
+            from gccnmf_tpu.ops.enhance_pallas import enhance_synthesis_pallas
+
+            batch = spec.shape[:-3]
+            out = enhance_synthesis_pallas(
+                spec.reshape(-1, *spec.shape[-3:]),
+                coh.reshape(-1, *coh.shape[-2:]),
+                self.w,
+                *self._cos_sin,
+                target_idx.reshape(-1),
+                target_eps,
+                target_beta,
+                noise_floor,
+                self._window,
+                hop_size=cfg.hop_size,
+                gain=stft_gain(cfg),
+                matmul_dtype=cfg.nmf_matmul_dtype,
+            )
+            return out.reshape(*batch, *out.shape[-2:]), target_idx, ang
 
         # Per-(frame, atom) argmax-TDOA. scores[t,d,k] =
         # Σ_f (Re c·cos + Im c·sin)[t,f,d] · W[f,k]: fold steering and
