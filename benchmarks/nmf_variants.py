@@ -188,6 +188,166 @@ def kl_nmf_fmajor(v, w0, h0, num_iterations):
     return w_out[:, :f, :k], jnp.swapaxes(h_out[:, :k, :t], 1, 2)
 
 
+def _nmf_kernel_interleaved(num_iterations, sparsity_alpha, epsilon,
+                            matmul_dtype, ways,
+                            v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    """``ways`` independent problems per program, updates interleaved in one
+    loop body. The single-problem kernel is a serial dependency chain
+    (GEMM → big (T,F) divide → GEMM …) so the MXU idles during VPU work
+    and vice versa; interleaving gives the scheduler independent chains
+    to overlap."""
+    md = jnp.dtype(matmul_dtype)
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    vs = [v_ref[i] for i in range(ways)]
+
+    def one(v, w, h):
+        q = safe_div(v, _dg(h, w, ((1,), (1,)), md))
+        h = h * _dg(q, w, ((1,), (0,)), md) / (
+            jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
+        )
+        q = safe_div(v, _dg(h, w, ((1,), (1,)), md))
+        num = _dg(q, h, ((0,), (0,)), md)
+        w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms
+
+    def body(_, whs):
+        return tuple(one(vs[i], *whs[i]) for i in range(ways))
+
+    whs = jax.lax.fori_loop(
+        0, num_iterations, body,
+        tuple((w0_ref[i], h0_ref[i]) for i in range(ways)),
+    )
+    for i in range(ways):
+        w_out_ref[i] = whs[i][0]
+        h_out_ref[i] = whs[i][1]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations", "ways"))
+def kl_nmf_interleaved(v, w0, h0, num_iterations, ways=2):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gccnmf_tpu.ops.nmf_pallas import pad_to_multiple
+
+    eps = 1e-16
+    b, t, f = v.shape
+    k = w0.shape[-1]
+    v2, _ = pad_to_multiple(v.astype(jnp.float32), 1, 8, eps)
+    v2, _ = pad_to_multiple(v2, 2, 128, eps)
+    w2, _ = pad_to_multiple(w0.astype(jnp.float32), 1, 128, eps)
+    w2, _ = pad_to_multiple(w2, 2, 128, eps)
+    h2, _ = pad_to_multiple(h0.astype(jnp.float32), 1, 8, eps)
+    h2, _ = pad_to_multiple(h2, 2, 128, eps)
+    tp, fp = v2.shape[1:]
+    kp = w2.shape[2]
+    assert b % ways == 0
+
+    kernel = functools.partial(_nmf_kernel_interleaved, num_iterations, 0.0,
+                               eps, "bfloat16", ways)
+    spec3 = lambda shape: pl.BlockSpec(
+        (ways, *shape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_out, h_out = pl.pallas_call(
+        kernel,
+        grid=(b // ways,),
+        in_specs=[spec3((tp, fp)), spec3((fp, kp)), spec3((tp, kp))],
+        out_specs=(spec3((fp, kp)), spec3((tp, kp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, kp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(v2, w2, h2)
+    return w_out[:, :f, :k], h_out[:, :t, :k]
+
+
+def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
+                      v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    """q = V/WH computed directly in bf16: V resident in bf16, WH cast once,
+    divide and guard selects run at 2x VPU lanes, and the GEMMs consume q
+    with no further cast. W/H state and accumulation stay f32."""
+    bf = jnp.bfloat16
+    v = v_ref[:].astype(bf)
+    tiny = 1e-30
+
+    def safe_div_bf(a, b):
+        # Mosaic can't cmpf bf16 on this target; compare in f32.
+        ok = b.astype(jnp.float32) > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, bf(1.0)), bf(0.0))
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def body(_, wh):
+        w, h = wh
+        wbf = w.astype(bf)
+        hbf = h.astype(bf)
+        q = safe_div_bf(v, _dg(hbf, wbf, ((1,), (1,)), bf).astype(bf))
+        h = h * _dg(q, wbf, ((1,), (0,)), bf) / (
+            jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
+        )
+        hbf = h.astype(bf)
+        q = safe_div_bf(v, _dg(hbf, wbf, ((1,), (1,)), bf).astype(bf))
+        num = _dg(q, hbf, ((0,), (0,)), bf)
+        w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms
+
+    w, h = jax.lax.fori_loop(0, num_iterations, body, (w0_ref[:], h0_ref[:]))
+    w_out_ref[:] = w
+    h_out_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def kl_nmf_bf16q(v, w0, h0, num_iterations):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gccnmf_tpu.ops.nmf_pallas import pad_to_multiple
+
+    eps = 1e-16
+    b, t, f = v.shape
+    k = w0.shape[-1]
+    v2, _ = pad_to_multiple(v.astype(jnp.float32), 1, 8, eps)
+    v2, _ = pad_to_multiple(v2, 2, 128, eps)
+    w2, _ = pad_to_multiple(w0.astype(jnp.float32), 1, 128, eps)
+    w2, _ = pad_to_multiple(w2, 2, 128, eps)
+    h2, _ = pad_to_multiple(h0.astype(jnp.float32), 1, 8, eps)
+    h2, _ = pad_to_multiple(h2, 2, 128, eps)
+    tp, fp = v2.shape[1:]
+    kp = w2.shape[2]
+
+    kernel = functools.partial(_nmf_kernel_bf16q, num_iterations, 0.0, eps)
+    spec3 = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_out, h_out = pl.pallas_call(
+        lambda v_r, w_r, h_r, wo_r, ho_r: kernel(
+            v_r.at[0], w_r.at[0], h_r.at[0], wo_r.at[0], ho_r.at[0]
+        ),
+        grid=(b,),
+        in_specs=[spec3((tp, fp)), spec3((fp, kp)), spec3((tp, kp))],
+        out_specs=(spec3((fp, kp)), spec3((tp, kp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, kp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(v2, w2, h2)
+    return w_out[:, :f, :k], h_out[:, :t, :k]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -235,6 +395,22 @@ def main():
                           speedup=round(dt0 / dt2, 3))))
     rel_c = float(jnp.max(jnp.abs(w_a - w_c) / (jnp.abs(w_a) + 1e-12)))
     print(json.dumps(dict(check="max_rel_w_diff_fmajor", value=rel_c)))
+
+    dt4, (w_e, h_e) = timed(lambda: kl_nmf_bf16q(v, w0, h0, args.iters))
+    rel_e = float(jnp.max(jnp.abs(w_a - w_e) / (jnp.abs(w_a) + 1e-12)))
+    print(json.dumps(dict(variant="bf16_q", ms=round(dt4 * 1e3, 2),
+                          speedup=round(dt0 / dt4, 3),
+                          max_rel_w_diff=rel_e)))
+
+    for ways in (2, 4):
+        dt3, (w_d, h_d) = timed(
+            lambda: kl_nmf_interleaved(v, w0, h0, args.iters, ways=ways)
+        )
+        rel_d = float(jnp.max(jnp.abs(w_a - w_d) / (jnp.abs(w_a) + 1e-12)))
+        print(json.dumps(dict(variant=f"interleave{ways}",
+                              ms=round(dt3 * 1e3, 2),
+                              speedup=round(dt0 / dt3, 3),
+                              max_rel_w_diff=rel_d)))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,11 @@ def pad_to_multiple(x: np.ndarray | jax.Array, axis: int, multiple: int,
 
 def _nmf_kernel(num_iterations, sparsity_alpha, epsilon, matmul_dtype,
                 v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    if matmul_dtype == "bfloat16_q":
+        return _nmf_kernel_bf16q(
+            num_iterations, sparsity_alpha, epsilon,
+            v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref,
+        )
     v = v_ref[:]
     # Two GEMM modes (all accumulation and multiplicative state stay f32):
     # - "bfloat16": operands quantized to bf16, single-pass MXU issue —
@@ -112,6 +117,58 @@ def _nmf_kernel(num_iterations, sparsity_alpha, epsilon, matmul_dtype,
     h_out_ref[:] = h
 
 
+def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
+                      v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref):
+    """Aggressive-throughput variant: V resident in bf16 and the ratio
+    q = V/WH computed in bf16 (divide + guard selects run at 2x VPU lanes,
+    GEMMs consume q with no cast). W/H state, row sums, and GEMM
+    accumulation stay f32. Measured 1.30x over the bf16-GEMM mode at the
+    reference shape (benchmarks/nmf_variants.py, batch 128 x 100 iters)
+    with ~4% max relative W trajectory drift — a different but equally
+    valid KL stationary point, not a degradation (the reference itself,
+    gccNMF/gccNMFFunctions.py:69-83, runs plain f32 with no precision
+    guarantee)."""
+    bf = jnp.bfloat16
+    v = v_ref[:].astype(bf)
+    tiny = 1e-30
+
+    def safe_div_bf(a, b):
+        # Mosaic can't cmpf bf16 on this target; compare in f32.
+        ok = b.astype(jnp.float32) > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, bf(1.0)), bf(0.0))
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(bf), b.astype(bf), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(_, wh):
+        w, h = wh
+        wbf = w.astype(bf)
+        q = safe_div_bf(v, mm(h, w, ((1,), (1,))).astype(bf))
+        h = h * jax.lax.dot_general(
+            q, wbf, ((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / (jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon)
+        q = safe_div_bf(v, mm(h, w, ((1,), (1,))).astype(bf))
+        num = jax.lax.dot_general(
+            q, h.astype(bf), ((((0,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * safe_div(num, jnp.sum(h, axis=0, keepdims=True))
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+        return safe_div(w, norms), h * norms
+
+    w, h = jax.lax.fori_loop(0, num_iterations, body, (w0_ref[:], h0_ref[:]))
+    w_out_ref[:] = w
+    h_out_ref[:] = h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -132,13 +189,16 @@ def kl_nmf_pallas(
     ``h0``: (..., T, K); leading batch dims are mapped to the Pallas grid.
     Returns (W, H) matching :func:`gccnmf_tpu.ops.nmf.kl_nmf`.
 
-    ``matmul_dtype`` picks the GEMM numerics (accumulation is always f32):
-    the default ``"bfloat16"`` issues single-pass MXU dots (what Mosaic
-    lowers un-annotated f32 dots to anyway — measured bit-identical and
-    the throughput mode the benchmarks report); ``"float32"`` forces
-    Precision.HIGHEST for trajectory parity with the XLA/NumPy oracle
-    (max rel deviation ~2e-3 between the two after 30 iterations, e2e
-    separation output unaffected at >130 dB SI-SDR agreement).
+    ``matmul_dtype`` picks the loop numerics:
+    - ``"bfloat16_q"`` (pipeline default): GEMM operands bf16 AND V/q
+      resident in bf16 (W/H state + accumulation f32) — 1.30x over
+      "bfloat16" at the reference shape, identical e2e separation quality
+      (same localization, 31.44 vs 31.43 dB min SNR vs the NumPy oracle);
+    - ``"bfloat16"``: operands quantized to bf16 at each GEMM, everything
+      else f32 (what Mosaic lowers un-annotated f32 dots to anyway);
+    - ``"float32"``: Precision.HIGHEST GEMMs for trajectory parity with
+      the XLA/NumPy oracle (max rel deviation ~2e-3 after 30 iterations,
+      e2e separation output unaffected at >130 dB SI-SDR agreement).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -119,3 +119,42 @@ class TestBf16Mode:
 
         cfg = OfflineConfig(nmf_matmul_dtype="bfloat16")
         assert cfg.nmf_matmul_dtype == "bfloat16"
+
+    def test_gemm_dtype_maps_bf16q_for_non_nmf_kernels(self):
+        from gccnmf_tpu.models.offline import OfflineConfig, gemm_dtype
+
+        assert gemm_dtype(OfflineConfig()) == "bfloat16"
+        assert gemm_dtype(OfflineConfig(nmf_matmul_dtype="bfloat16_q")) == "bfloat16"
+        assert gemm_dtype(OfflineConfig(nmf_matmul_dtype="float32")) == "float32"
+
+
+class TestBf16QMode:
+    """bfloat16_q mode (V and q=V/WH resident in bf16): same KL-objective
+    guarantees as the bf16 GEMM mode. Trajectory drifts ~4% from f32 —
+    a different, equally valid stationary point — so assertions are on the
+    objective, unit norms, and finiteness, not elementwise parity."""
+
+    def test_quality_matches_f32(self):
+        v, w0, h0 = TestBf16Mode()._problem(seed=1)
+        args = (jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 30)
+        w_f32, h_f32 = kl_nmf_pallas(*args, matmul_dtype="float32", interpret=True)
+        w_q, h_q = kl_nmf_pallas(*args, matmul_dtype="bfloat16_q", interpret=True)
+        kl_f32 = TestBf16Mode._kl(v, w_f32, h_f32)
+        kl_q = TestBf16Mode._kl(v, w_q, h_q)
+        assert kl_q <= kl_f32 * 1.1 + 1e-3
+        norms = np.linalg.norm(np.asarray(w_q), axis=0)
+        np.testing.assert_allclose(norms, 1.0, atol=5e-2)
+        assert np.isfinite(np.asarray(h_q)).all()
+
+    def test_monotone_kl_decrease(self):
+        v, w0, h0 = TestBf16Mode()._problem(seed=4)
+        prev = None
+        for iters in (5, 15, 30):
+            w, h = kl_nmf_pallas(
+                jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), iters,
+                matmul_dtype="bfloat16_q", interpret=True,
+            )
+            cur = TestBf16Mode._kl(v, w, h)
+            if prev is not None:
+                assert cur <= prev * 1.02
+            prev = cur
