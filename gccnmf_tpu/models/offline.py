@@ -63,6 +63,13 @@ class OfflineConfig:
     # formulation. The Pallas path follows nmf_matmul_dtype for its GEMM
     # numerics (bf16 throughput vs f32/HIGHEST parity).
     synthesis_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # Analysis front-end: "pallas" fuses framing → windowed DFT → |X| →
+    # PHAT coherence → angular spectrogram into one VMEM-resident kernel
+    # emitting f32 planes (ops/frontend_pallas.py, ~2.2x the composed XLA
+    # stage); "xla" is the composable formulation. "auto" picks Pallas on
+    # TPU in the bf16 throughput modes and XLA in float32 parity mode
+    # (the parity trajectory is defined by the XLA/HIGHEST numerics).
+    frontend_backend: str = "auto"  # "auto" | "xla" | "pallas"
     epsilon: float = 1e-16
 
     @property
@@ -86,6 +93,24 @@ class OfflineConfig:
         import jax
 
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def resolved_frontend_backend(self) -> str:
+        """'auto' → the fused front-end kernel on TPU in bf16 throughput
+        modes (requires hop | window); XLA elsewhere and in f32 parity
+        mode."""
+        if self.frontend_backend != "auto":
+            return self.frontend_backend
+        import jax
+
+        return (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and self.window_size % self.hop_size == 0
+                and self.nmf_matmul_dtype != "float32"
+            )
+            else "xla"
+        )
 
     def resolved_synthesis_backend(self) -> str:
         """'auto' → the fused synthesis kernel on TPU, XLA elsewhere."""
@@ -118,6 +143,7 @@ class GCCNMFSeparator:
         self._stft_method = config.resolved_stft_method()
         self._nmf_backend = config.resolved_nmf_backend()
         self._synthesis_backend = config.resolved_synthesis_backend()
+        self._frontend_backend = config.resolved_frontend_backend()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -128,30 +154,60 @@ class GCCNMFSeparator:
 
     # ---- jitted stages ----------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _analyze(self, stereo: jax.Array, w0: jax.Array, h0: jax.Array):
-        """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang)."""
+    def _run_nmf(self, v, w0, h0):
         cfg = self.config
+        if self._nmf_backend == "pallas":
+            from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
+
+            return kl_nmf_pallas(
+                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon,
+                matmul_dtype=cfg.nmf_matmul_dtype,
+            )
+        return nmf.kl_nmf(
+            v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
+        )
+
+    def _analyze_planes(self, stereo, w0, h0):
+        """Analysis stage on f32 planes: (spec_re, spec_im, W, H, coh_re,
+        coh_im, ang). On the Pallas front-end the planes come straight
+        from the fused kernel (no complex64 ever materialized)."""
+        cfg = self.config
+        if self._frontend_backend == "pallas":
+            from gccnmf_tpu.ops.frontend_pallas import stft_gcc_frontend_pallas
+
+            cos_m, sin_m = self._cos_sin
+            sre, sim, vp, cre, cim, ang = stft_gcc_frontend_pallas(
+                stereo, jnp.asarray(self._window), jnp.asarray(cos_m),
+                jnp.asarray(sin_m), hop_size=cfg.hop_size, conjugate=True,
+                matmul_dtype=gemm_dtype(cfg),
+            )
+            # (..., 2, T, F) → (..., 2T, F): left‖right concatenated along
+            # time (runGCCNMF.py:40) is a free reshape in this layout
+            v = vp.reshape(*vp.shape[:-3], -1, vp.shape[-1])
+            w, h = self._run_nmf(v, w0, h0)
+            return sre, sim, w, h, cre, cim, ang
         spec = stft_ops.stft(
             stereo, self._window, cfg.hop_size, conjugate=True,
             method=self._stft_method,
         )  # (..., 2, T, F)
-        # NMF trains on left‖right concatenated along time (runGCCNMF.py:40).
-        v = jnp.concatenate([jnp.abs(spec[..., 0, :, :]), jnp.abs(spec[..., 1, :, :])], axis=-2)
-        if self._nmf_backend == "pallas":
-            from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
-
-            w, h = kl_nmf_pallas(
-                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon,
-                matmul_dtype=cfg.nmf_matmul_dtype,
-            )
-        else:
-            w, h = nmf.kl_nmf(
-                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
-            )
+        v = jnp.concatenate(
+            [jnp.abs(spec[..., 0, :, :]), jnp.abs(spec[..., 1, :, :])], axis=-2
+        )
+        w, h = self._run_nmf(v, w0, h0)
         coh = gcc.coherence(spec)
         ang = gcc.angular_spectrogram(coh, *self._cos_sin)
-        return spec, w, h, coh, ang
+        return (
+            jnp.real(spec), jnp.imag(spec), w, h,
+            jnp.real(coh), jnp.imag(coh), ang,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _analyze(self, stereo: jax.Array, w0: jax.Array, h0: jax.Array):
+        """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang)."""
+        sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
+        return (
+            jax.lax.complex(sre, sim), w, h, jax.lax.complex(cre, cim), ang
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def _reconstruct(
@@ -196,17 +252,27 @@ class GCCNMFSeparator:
         directly — neither one-hot masks nor the complex per-target
         spectrogram estimates are ever materialized.
         """
+        return self._reconstruct_batched_planes(
+            jnp.real(spec), jnp.imag(spec), jnp.real(coh), jnp.imag(coh),
+            w, h, target_indexes,
+        )
+
+    def _reconstruct_batched_planes(
+        self, sre, sim, cre, cim, w, h, target_indexes
+    ) -> jax.Array:
+        """Plane-input reconstruction tail (the fused front-end's native
+        currency); same semantics as :meth:`_reconstruct_batched`."""
         cfg = self.config
-        t = spec.shape[-2]
+        t = sre.shape[-2]
         h_stereo = jnp.stack([h[..., :t, :], h[..., t:, :]], axis=-3)
         if self._synthesis_backend == "pallas":
             from gccnmf_tpu.ops.synthesis_pallas import masked_synthesis_pallas
 
-            winner = masks.attribution_winner(
-                coh, *self._cos_sin, target_indexes, w
+            winner = masks.attribution_winner_planes(
+                cre, cim, *self._cos_sin, target_indexes, w
             )
             return masked_synthesis_pallas(
-                spec,
+                (sre, sim),
                 winner,
                 w,
                 h_stereo,
@@ -216,6 +282,8 @@ class GCCNMFSeparator:
                 gain=stft_gain(cfg),
                 matmul_dtype=gemm_dtype(cfg),
             )
+        spec = jax.lax.complex(sre, sim)
+        coh = jax.lax.complex(cre, cim)
         est, _ = jax.vmap(self._reconstruct)(spec, coh, w, h, target_indexes)
         return est
 
@@ -301,13 +369,18 @@ class GCCNMFSeparator:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _separate_batch_jit(self, stereo, w0, h0, num_sources):
-        spec, w, h, coh, ang = jax.vmap(self._analyze)(stereo, w0, h0)
+        # every stage is batch-polymorphic (and the Pallas kernels grid
+        # over the batch), so no vmap — the whole path runs on f32 planes
+        # with no complex64 intermediates
+        sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
         targets = jax.vmap(
             lambda a: localize.top_k_peaks(
                 gcc.mean_angular_spectrum(a), num_sources
             )
         )(ang)
-        est = self._reconstruct_batched(spec, coh, w, h, targets)
+        est = self._reconstruct_batched_planes(
+            sre, sim, cre, cim, w, h, targets
+        )
         return est, targets
 
     def separate_batch(self, stereo_batch: np.ndarray, num_sources: int | None = None):
@@ -352,6 +425,7 @@ class GCCNMFEnhancer:
         self.num_h_updates = num_h_updates
         self._stft_method = config.resolved_stft_method()
         self._synthesis_backend = config.resolved_synthesis_backend()
+        self._frontend_backend = config.resolved_frontend_backend()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
@@ -363,21 +437,43 @@ class GCCNMFEnhancer:
     @functools.partial(jax.jit, static_argnums=0)
     def _enhance_jit(self, stereo, target_eps, target_beta, noise_floor):
         cfg = self.config
-        spec = stft_ops.stft(
-            stereo, self._window, cfg.hop_size, conjugate=True,
-            method=self._stft_method,
-        )  # (..., 2, T, F)
-        coh = gcc.coherence(spec)
-        ang = gcc.angular_spectrogram(coh, *self._cos_sin)  # (..., T, D)
+        if self._frontend_backend == "pallas":
+            from gccnmf_tpu.ops.frontend_pallas import stft_gcc_frontend_pallas
+
+            cos_m, sin_m = self._cos_sin
+            sre, sim, _, cre, cim, ang = stft_gcc_frontend_pallas(
+                stereo, jnp.asarray(self._window), jnp.asarray(cos_m),
+                jnp.asarray(sin_m), hop_size=cfg.hop_size, conjugate=True,
+                matmul_dtype=gemm_dtype(cfg),
+            )
+            spec = (sre, sim)  # planes tuple; consumers split anyway
+            coh = (cre, cim)
+        else:
+            cspec = stft_ops.stft(
+                stereo, self._window, cfg.hop_size, conjugate=True,
+                method=self._stft_method,
+            )  # (..., 2, T, F)
+            ccoh = gcc.coherence(cspec)
+            ang = gcc.angular_spectrogram(ccoh, *self._cos_sin)  # (..., T, D)
+            spec, coh = cspec, ccoh
         target_idx = jnp.argmax(gcc.mean_angular_spectrum(ang), axis=-1)
 
         if self._synthesis_backend == "pallas":
             from gccnmf_tpu.ops.enhance_pallas import enhance_synthesis_pallas
 
-            batch = spec.shape[:-3]
+            if isinstance(spec, tuple):
+                batch = spec[0].shape[:-3]
+                spec_in = tuple(
+                    p.reshape(-1, *p.shape[-3:]) for p in spec
+                )
+                coh_in = tuple(p.reshape(-1, *p.shape[-2:]) for p in coh)
+            else:
+                batch = spec.shape[:-3]
+                spec_in = spec.reshape(-1, *spec.shape[-3:])
+                coh_in = coh.reshape(-1, *coh.shape[-2:])
             out = enhance_synthesis_pallas(
-                spec.reshape(-1, *spec.shape[-3:]),
-                coh.reshape(-1, *coh.shape[-2:]),
+                spec_in,
+                coh_in,
                 self.w,
                 *self._cos_sin,
                 target_idx.reshape(-1),
@@ -390,6 +486,9 @@ class GCCNMFEnhancer:
                 matmul_dtype=gemm_dtype(cfg),
             )
             return out.reshape(*batch, *out.shape[-2:]), target_idx, ang
+        if isinstance(spec, tuple):  # pallas front-end + XLA tail
+            spec = jax.lax.complex(*spec)
+            coh = jax.lax.complex(*coh)
 
         # Per-(frame, atom) argmax-TDOA. scores[t,d,k] =
         # Σ_f (Re c·cos + Im c·sin)[t,f,d] · W[f,k]: fold steering and

@@ -146,7 +146,8 @@ def soft_mask_pallas(
     docstring) — without materializing the (B, T, D, K) scores.
 
     Args:
-      coh: (B, T, F) complex64 PHAT coherence.
+      coh: (B, T, F) complex64 PHAT coherence, or a ``(re, im)`` tuple of
+        f32 planes (as produced by the fused Pallas front-end).
       w: (F, K) pre-learned dictionary (shared across the batch).
       cos_m / sin_m: (F, D) steering components
         (:func:`gccnmf_tpu.ops.gcc.steering_cos_sin`).
@@ -157,7 +158,11 @@ def soft_mask_pallas(
         raise RuntimeError("pallas unavailable")
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
-    b, t, f = coh.shape
+    if isinstance(coh, tuple):
+        coh_re, coh_im = coh
+    else:
+        coh_re, coh_im = jnp.real(coh), jnp.imag(coh)
+    b, t, f = coh_re.shape
     w = np.asarray(w, np.float32)
     cos_m = np.asarray(cos_m, np.float32)
     sin_m = np.asarray(sin_m, np.float32)
@@ -189,7 +194,7 @@ def soft_mask_pallas(
     t8 = -(-t // 8) * 8
     eff_tile = t8 if t8 <= tile_t else tile_t
     return _mask_jit(
-        coh, params, jnp.asarray(cw), jnp.asarray(sw),
+        coh_re, coh_im, params, jnp.asarray(cw), jnp.asarray(sw),
         num_tdoas=d, num_atoms=k, chunk_d=chunk_d,
         matmul_dtype=matmul_dtype, batch_tile=batch_tile,
         tile_t=eff_tile, interpret=interpret,
@@ -204,19 +209,19 @@ def soft_mask_pallas(
     ),
 )
 def _mask_jit(
-    coh, params, cw, sw,
+    coh_re, coh_im, params, cw, sw,
     *, num_tdoas, num_atoms, chunk_d, matmul_dtype, batch_tile, tile_t,
     interpret,
 ):
-    b, t, f = coh.shape
+    b, t, f = coh_re.shape
     dp, fp, kp = cw.shape
     bp = -(-b // batch_tile) * batch_tile
     t_pad = -(-t // tile_t) * tile_t
 
     cre = jnp.zeros((bp, t_pad, fp), jnp.float32)
     cim = jnp.zeros((bp, t_pad, fp), jnp.float32)
-    cre = cre.at[:b, :t, :f].set(jnp.real(coh))
-    cim = cim.at[:b, :t, :f].set(jnp.imag(coh))
+    cre = cre.at[:b, :t, :f].set(coh_re)
+    cim = cim.at[:b, :t, :f].set(coh_im)
     params = jnp.concatenate(
         [params, jnp.ones((bp - b, 1, 4), jnp.float32)], axis=0
     )
@@ -301,7 +306,12 @@ def enhance_synthesis_pallas(
         tile_t=tile_t, chunk_d=chunk_d, interpret=interpret,
     )
     tf = mask_ops.wiener_tf_mask(jnp.asarray(w, jnp.float32), h_mask)
-    out_spec = tf[:, None, :, :] * spec
+    if isinstance(spec, tuple):  # (re, im) planes from the fused front-end
+        tf4 = tf[:, None, :, :]
+        spec = jax.lax.complex(tf4 * spec[0], tf4 * spec[1])
+        out_spec = spec
+    else:
+        out_spec = tf[:, None, :, :] * spec
     method = "matmul" if jax.default_backend() == "tpu" else "fft"
     return (
         istft(

@@ -23,6 +23,7 @@ import numpy as np
 __all__ = [
     "target_attribution",
     "attribution_winner",
+    "attribution_winner_planes",
     "hard_coefficient_masks",
     "masked_reconstruction",
     "soft_tdoa_coefficient_mask",
@@ -79,6 +80,21 @@ def attribution_winner(
     ``coh``: (B, T, F) complex; ``target_indexes``: (B, N) int;
     ``w``: (B, F, K).
     """
+    return attribution_winner_planes(
+        jnp.real(coh), jnp.imag(coh), cos_m, sin_m, target_indexes, w
+    )
+
+
+def attribution_winner_planes(
+    coh_re: jax.Array,
+    coh_im: jax.Array,
+    cos_m: jax.Array | np.ndarray,
+    sin_m: jax.Array | np.ndarray,
+    target_indexes: jax.Array,
+    w: jax.Array,
+) -> jax.Array:
+    """:func:`attribution_winner` on pre-split coherence planes (what the
+    fused Pallas front-end emits — skips the complex round trip)."""
     cos_sel = jnp.swapaxes(
         jnp.asarray(cos_m).T[jnp.asarray(target_indexes)], -1, -2
     )  # (B, F, N)
@@ -90,9 +106,9 @@ def attribution_winner(
     cw = (cos_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
     sw = (sin_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
     flat = jnp.matmul(
-        jnp.real(coh), cw, precision=_HIGHEST()
-    ) + jnp.matmul(jnp.imag(coh), sw, precision=_HIGHEST())
-    scores = flat.reshape(*coh.shape[:-1], n, k)  # (B, T, N, K)
+        coh_re, cw, precision=_HIGHEST()
+    ) + jnp.matmul(coh_im, sw, precision=_HIGHEST())
+    scores = flat.reshape(*coh_re.shape[:-1], n, k)  # (B, T, N, K)
     safe = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     return jnp.argmax(safe, axis=-2).astype(jnp.int32)  # (B, T, K)
 

@@ -85,18 +85,24 @@ def kl_nmf(
 ):
     """Run ``num_iterations`` multiplicative KL updates.
 
-    ``v``: (T, F) nonneg magnitudes; ``w0``: (F, K); ``h0``: (T, K).
+    ``v``: (..., T, F) nonneg magnitudes; ``w0``: (..., F, K);
+    ``h0``: (..., T, K) — leading batch dims are mapped elementwise.
     Returns ``(W, H)`` with the same shapes/dtypes (float32).
     """
     v = v.astype(jnp.float32)
 
     def body(_, wh):
         w, h = wh
-        q = v / _mm(h, w.T, precision)
-        h = h * _mm(q, w, precision) / (jnp.sum(w, axis=0) + sparsity_alpha + epsilon)
-        q = v / _mm(h, w.T, precision)
-        w = w * jnp.einsum("tf,tk->fk", q, h, precision=precision) / jnp.sum(h, axis=0)
-        norms = jnp.sqrt(jnp.sum(w * w, axis=0))
+        wt = jnp.swapaxes(w, -1, -2)
+        q = v / _mm(h, wt, precision)
+        h = h * _mm(q, w, precision) / (
+            jnp.sum(w, axis=-2, keepdims=True) + sparsity_alpha + epsilon
+        )
+        q = v / _mm(h, wt, precision)
+        w = w * jnp.einsum(
+            "...tf,...tk->...fk", q, h, precision=precision
+        ) / jnp.sum(h, axis=-2, keepdims=True)
+        norms = jnp.sqrt(jnp.sum(w * w, axis=-2, keepdims=True))
         return w / norms, h * norms
 
     return jax.lax.fori_loop(0, num_iterations, body, (w0, h0))

@@ -155,7 +155,9 @@ def masked_synthesis_pallas(
 
     Args:
       spec: (B, C, T, F) complex64 mixture spectrogram (as produced by
-        ``stft(..., conjugate=True)``).
+        ``stft(..., conjugate=True)``), or a ``(re, im)`` tuple of f32
+        planes (as produced by the fused Pallas front-end — avoids a
+        complex64 round trip through HBM).
       winner: (B, T, K) int32 — per-(frame, atom) winning target index
         (``argmax`` over the attribution scores' target axis).
       w: (B, F, K) NMF dictionary.
@@ -175,7 +177,11 @@ def masked_synthesis_pallas(
         raise RuntimeError("pallas unavailable")
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
-    f = spec.shape[-1]
+    if isinstance(spec, tuple):
+        spec_re, spec_im = spec
+    else:
+        spec_re, spec_im = jnp.real(spec), jnp.imag(spec)
+    f = spec_re.shape[-1]
     window = np.asarray(window, np.float32)
     win_len = window.shape[0]
     if win_len % hop_size != 0:
@@ -197,8 +203,8 @@ def masked_synthesis_pallas(
     for k in range(ratio):
         sel[k, idx + k, idx] = 1.0
     return _synthesis_jit(
-        spec, winner, w, h_stereo, jnp.asarray(a_np), jnp.asarray(b_np),
-        jnp.asarray(sel),
+        spec_re, spec_im, winner, w, h_stereo, jnp.asarray(a_np),
+        jnp.asarray(b_np), jnp.asarray(sel),
         num_targets=num_targets, hop_size=hop_size, win_len=win_len,
         matmul_dtype=matmul_dtype, tile_t=tile_t, interpret=interpret,
     )
@@ -212,10 +218,10 @@ def masked_synthesis_pallas(
     ),
 )
 def _synthesis_jit(
-    spec, winner, w, h_stereo, a_basis, b_basis, sel,
+    spec_re, spec_im, winner, w, h_stereo, a_basis, b_basis, sel,
     *, num_targets, hop_size, win_len, matmul_dtype, tile_t, interpret,
 ):
-    b, c_ch, t, f = spec.shape
+    b, c_ch, t, f = spec_re.shape
     k = w.shape[-1]
     ratio = win_len // hop_size
     fp = a_basis.shape[0]
@@ -226,8 +232,8 @@ def _synthesis_jit(
     t_pad = -(-(t + ratio - 1) // tile_t) * tile_t
     re = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
     im = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
-    re = re.at[:, :, :t, :f].set(jnp.real(spec))
-    im = im.at[:, :, :t, :f].set(jnp.imag(spec))
+    re = re.at[:, :, :t, :f].set(spec_re)
+    im = im.at[:, :, :t, :f].set(spec_im)
     win_pad = jnp.full((b, t_pad, k), -1, jnp.int32)
     win_pad = win_pad.at[:, :t].set(winner.astype(jnp.int32))
     h_pad = jnp.zeros((b, c_ch, t_pad, k), jnp.float32)

@@ -1,0 +1,162 @@
+"""Fused analysis front-end kernel: parity vs the composed XLA ops and
+end-to-end equivalence through the separation/enhancement pipelines
+(interpret mode on the CPU test backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gccnmf_tpu.ops import gcc, stft as stft_ops, windows as win_ops
+from gccnmf_tpu.ops.frontend_pallas import stft_gcc_frontend_pallas
+
+SR = 16000.0
+WIN, HOP, F, D = 1024, 128, 513, 128
+
+
+def _signal(b=2, t_frames=77, seed=0):
+    rng = np.random.default_rng(seed)
+    n = WIN + HOP * (t_frames - 1)
+    return (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
+
+
+def _reference(x, window, cos_m, sin_m):
+    spec = stft_ops.stft(
+        jnp.asarray(x), window, HOP, conjugate=True, method="matmul"
+    )
+    v = jnp.abs(spec)
+    coh = gcc.coherence(spec)
+    ang = gcc.angular_spectrogram(coh, cos_m, sin_m)
+    return spec, v, coh, ang
+
+
+class TestFrontendKernel:
+    def test_parity_with_xla_ops(self):
+        x = _signal(t_frames=77)  # not a tile multiple: padding exercised
+        window = win_ops.hann_symmetric(WIN)
+        cos_m, sin_m = gcc.steering_cos_sin(SR, F, 1.0, D)
+        spec_r, v_r, coh_r, ang_r = _reference(x, window, cos_m, sin_m)
+        sre, sim, v, cre, cim, ang = stft_gcc_frontend_pallas(
+            jnp.asarray(x), jnp.asarray(window), jnp.asarray(cos_m),
+            jnp.asarray(sin_m), hop_size=HOP, matmul_dtype="float32",
+            tile_t=32, interpret=True,
+        )
+        assert sre.shape == spec_r.shape and ang.shape == ang_r.shape
+        np.testing.assert_allclose(
+            np.asarray(jax.lax.complex(sre, sim)), np.asarray(spec_r),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(jax.lax.complex(cre, cim)), np.asarray(coh_r),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ang), np.asarray(ang_r),
+            atol=2e-3 * float(jnp.max(jnp.abs(ang_r))),
+        )
+
+    def test_conjugate_false(self):
+        x = _signal(b=1, t_frames=32)
+        window = win_ops.hann_symmetric(WIN)
+        cos_m, sin_m = gcc.steering_cos_sin(SR, F, 1.0, D)
+        spec_r = stft_ops.stft(
+            jnp.asarray(x), window, HOP, conjugate=False, method="matmul"
+        )
+        sre, sim, *_ = stft_gcc_frontend_pallas(
+            jnp.asarray(x), jnp.asarray(window), jnp.asarray(cos_m),
+            jnp.asarray(sin_m), hop_size=HOP, conjugate=False,
+            matmul_dtype="float32", tile_t=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.lax.complex(sre, sim)), np.asarray(spec_r),
+            atol=2e-5,
+        )
+
+    def test_rejects_non_divisible_hop(self):
+        x = _signal(b=1, t_frames=8)
+        window = win_ops.hann_symmetric(WIN)
+        cos_m, sin_m = gcc.steering_cos_sin(SR, F, 1.0, D)
+        with pytest.raises(ValueError, match="hop"):
+            stft_gcc_frontend_pallas(
+                jnp.asarray(x), jnp.asarray(window), jnp.asarray(cos_m),
+                jnp.asarray(sin_m), hop_size=100, interpret=True,
+            )
+
+
+class TestFrontendPipelines:
+    def test_separation_e2e_matches_xla_frontend(self):
+        import dataclasses
+
+        from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+        from gccnmf_tpu.ops import nmf
+
+        rng = np.random.default_rng(1)
+        n = 16000
+        s1, s2 = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+        stereo = np.stack([s1 + s2, np.roll(s1, 4) + np.roll(s2, -6)])
+        base = OfflineConfig(
+            num_iterations=8, dictionary_size=16, num_tdoas=32,
+            nmf_backend="xla", synthesis_backend="xla",
+            nmf_matmul_dtype="float32",
+        )
+        out = {}
+        for fe in ("xla", "pallas"):
+            cfg = dataclasses.replace(base, frontend_backend=fe)
+            sep = GCCNMFSeparator(cfg)
+            res = sep.separate(stereo, num_sources=2)
+            out[fe] = res
+        assert list(out["xla"]["target_tdoa_indexes"]) == list(
+            out["pallas"]["target_tdoa_indexes"]
+        )
+        a, b = out["xla"]["estimates"], out["pallas"]["estimates"]
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+    def test_batched_separation_planes_path(self):
+        import dataclasses
+
+        from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+
+        rng = np.random.default_rng(2)
+        n = 8000
+        s1 = rng.standard_normal(n).astype(np.float32) * 0.1
+        stereo = np.stack([s1, np.roll(s1, 5)])
+        batch = np.stack([stereo, stereo * 0.7])
+        base = OfflineConfig(
+            num_iterations=5, dictionary_size=8, num_tdoas=16,
+            nmf_backend="xla", nmf_matmul_dtype="float32",
+        )
+        outs = {}
+        for fe in ("xla", "pallas"):
+            cfg = dataclasses.replace(base, frontend_backend=fe)
+            est, targets = GCCNMFSeparator(cfg).separate_batch(
+                batch, num_sources=2
+            )
+            outs[fe] = (est, targets)
+        np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+        np.testing.assert_allclose(outs["xla"][0], outs["pallas"][0], atol=5e-4)
+
+    def test_enhancement_planes_path(self):
+        import dataclasses
+
+        from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig
+
+        rng = np.random.default_rng(3)
+        n = 8000
+        stereo = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+        k = 16
+        w = rng.random((513, k)).astype(np.float32) + 1e-3
+        base = OfflineConfig(
+            mic_separation_m=0.1, num_tdoas=32, dictionary_size=k,
+            nmf_matmul_dtype="float32",
+        )
+        outs = {}
+        for fe in ("xla", "pallas"):
+            cfg = dataclasses.replace(base, frontend_backend=fe)
+            outs[fe] = GCCNMFEnhancer(w, cfg).enhance(stereo)
+        assert int(outs["xla"]["target_tdoa_index"]) == int(
+            outs["pallas"]["target_tdoa_index"]
+        )
+        np.testing.assert_allclose(
+            outs["xla"]["enhanced"], outs["pallas"]["enhanced"], atol=5e-4
+        )
