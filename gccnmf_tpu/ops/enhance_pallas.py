@@ -25,9 +25,11 @@ single-phase revision of this kernel re-streamed the 84 MB folded
 dictionary per (batch, time-tile) — ~53 GB of DMA at the bench shape,
 3× slower than this layout).
 
-The Wiener reconstruction and masked ISTFT that follow read only
-(B, T, K)-sized masks and the spectrogram — they are streamed efficiently
-by XLA (see GCCNMFEnhancer) — so fusing them here buys nothing further.
+The Wiener reconstruction and masked ISTFT that follow are fused by
+:func:`tf_synthesis_pallas`: the TF mask, the masked complex spectrogram,
+and the (B, C, T, window) frame tensor never touch HBM (the composed XLA
+tail measured ~69 ms at the bench shape once the front-end was fused —
+comparable to the mask stage itself).
 """
 
 from __future__ import annotations
@@ -38,9 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gccnmf_tpu.ops import masks as mask_ops
-from gccnmf_tpu.ops.stft import istft
-
 try:  # pallas is TPU/interpret-only; import lazily for CPU-only installs
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -48,7 +47,7 @@ except Exception:  # pragma: no cover
     pl = None
     pltpu = None
 
-__all__ = ["soft_mask_pallas", "enhance_synthesis_pallas"]
+__all__ = ["soft_mask_pallas", "enhance_synthesis_pallas", "tf_synthesis_pallas"]
 
 
 def _mask_kernel(
@@ -296,27 +295,205 @@ def enhance_synthesis_pallas(
 ) -> jax.Array:
     """Full fused-mask enhancement tail → (B, C, (T-1)*hop) waveforms.
 
-    ``soft_mask_pallas`` for the scores/argmax/mask stage, then the Wiener
-    TF mask and masked ISTFT (conjugate + center-trim semantics, matching
-    the reference's reconstruction) composed in XLA.
+    ``soft_mask_pallas`` for the scores/argmax/mask stage, then
+    :func:`tf_synthesis_pallas` for the Wiener TF mask and masked ISTFT
+    (conjugate + center-trim semantics, matching the reference's
+    reconstruction) — two kernels, no HBM intermediates beyond the
+    (B, T, K) coefficient mask.
     """
     h_mask = soft_mask_pallas(
         coh, w, cos_m, sin_m, target_index, target_epsilon, target_beta,
         noise_floor, matmul_dtype=matmul_dtype, batch_tile=batch_tile,
         tile_t=tile_t, chunk_d=chunk_d, interpret=interpret,
     )
-    tf = mask_ops.wiener_tf_mask(jnp.asarray(w, jnp.float32), h_mask)
-    if isinstance(spec, tuple):  # (re, im) planes from the fused front-end
-        tf4 = tf[:, None, :, :]
-        spec = jax.lax.complex(tf4 * spec[0], tf4 * spec[1])
-        out_spec = spec
-    else:
-        out_spec = tf[:, None, :, :] * spec
-    method = "matmul" if jax.default_backend() == "tpu" else "fft"
-    return (
-        istft(
-            out_spec, window, hop_size, conjugate=True, center_trim=True,
-            method=method,
-        )
-        * gain
+    return tf_synthesis_pallas(
+        spec, h_mask, w, window, hop_size=hop_size, gain=gain,
+        matmul_dtype=matmul_dtype, interpret=interpret,
     )
+
+
+def _tf_synth_kernel(
+    num_channels, ratio, hop, t_valid, f_valid, matmul_dtype,
+    hm_ref, re_ref, im_ref, wtn_ref, a_ref, b_ref, sel_ref,
+    out_ref, carry_ref,
+):
+    tile_t = hm_ref.shape[1]
+
+    if jnp.dtype(matmul_dtype) == jnp.float32:
+
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x, y, ((((1,), (0,))), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        md = jnp.dtype(matmul_dtype)
+
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x.astype(md), y.astype(md), ((((1,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    fp = a_ref.shape[0]
+    # validity mask for the edge tiles: rows beyond T and lanes beyond F
+    # come from clipped (garbage) block reads — zero them AFTER the tf
+    # multiply so even NaN garbage cannot reach the GEMMs
+    rows = i * tile_t + jax.lax.broadcasted_iota(jnp.int32, (tile_t, fp), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile_t, fp), 1)
+    valid = (rows < t_valid) & (lanes < f_valid)
+
+    # Wiener TF mask on the tile: h_mask @ (W/colsum)ᵀ — never touches HBM
+    tf = mm(hm_ref[0], wtn_ref[:])  # (tile_t, fp)
+    for c in range(num_channels):
+        re_s = jnp.where(valid, tf * re_ref[0, c], 0.0)
+        im_s = jnp.where(valid, tf * im_ref[0, c], 0.0)
+        # forward used conjugate=True and the ISTFT re-conjugates: imag
+        # enters the inverse transform with a minus sign
+        frames = mm(re_s, a_ref[:]) - mm(im_s, b_ref[:])  # (tile_t, win)
+        # overlap-add via shifted-identity selection GEMMs (see
+        # synthesis_pallas._synthesis_kernel for the rationale)
+        loc = mm(sel_ref[0], frames[:, :hop])
+        for k in range(1, ratio):
+            loc = loc + mm(sel_ref[k], frames[:, k * hop : (k + 1) * hop])
+        head = jnp.concatenate(
+            [
+                carry_ref[c].reshape(ratio - 1, hop),
+                jnp.zeros((tile_t - ratio + 1, hop), jnp.float32),
+            ],
+            axis=0,
+        )
+        out_ref[0, c] = (loc[:tile_t] + head).reshape(tile_t * hop)
+        carry_ref[c] = loc[tile_t : tile_t + ratio - 1].reshape(
+            (ratio - 1) * hop
+        )
+
+
+def tf_synthesis_pallas(
+    spec,
+    h_mask: jax.Array,
+    w: jax.Array | np.ndarray,
+    window: jax.Array | np.ndarray,
+    *,
+    hop_size: int,
+    gain: float = 1.0,
+    matmul_dtype: str = "bfloat16",
+    tile_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Wiener-masked ISTFT: ``istft(wiener_tf_mask(W, h_mask) ⊙ X,
+    conjugate=True, center_trim=True) · gain`` in one VMEM pass.
+
+    ``spec``: (B, C, T, F) complex64 or an ``(re, im)`` plane tuple;
+    ``h_mask``: (B, T, K); ``w``: (F, K). The Wiener GEMM, the complex
+    mask multiply, the windowed iDFT, and overlap-add all happen on time
+    tiles in VMEM — neither the TF mask, the masked spectrogram, nor the
+    (B, C, T, window) frame tensor is ever materialized in HBM. Returns
+    (B, C, (T-1)·hop) float32 waveforms.
+    """
+    if pl is None:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
+    if isinstance(spec, tuple):
+        sre, sim = spec
+    else:
+        sre, sim = jnp.real(spec), jnp.imag(spec)
+    b, c_ch, t, f = sre.shape
+    k = h_mask.shape[-1]
+    window = np.asarray(window, np.float32)
+    win_len = window.shape[0]
+    if win_len % hop_size != 0:
+        raise ValueError("window length must be a multiple of hop_size")
+    if 2 * (f - 1) != win_len:
+        raise ValueError("window length inconsistent with spectrogram bins")
+    ratio = win_len // hop_size
+
+    from gccnmf_tpu.ops.stft import idft_matrices
+
+    fp = -(-f // 128) * 128
+    a_m, b_m = idft_matrices(win_len)
+    a_np = np.zeros((fp, win_len), np.float32)
+    b_np = np.zeros((fp, win_len), np.float32)
+    a_np[:f] = a_m * window[None, :] * gain
+    b_np[:f] = b_m * window[None, :] * gain
+    # normalized dictionary (W/colsum)ᵀ: tf = h_mask @ wtn
+    w_np = np.asarray(w, np.float32)
+    wtn = np.zeros((k, fp), np.float32)
+    wtn[:, :f] = (w_np / np.sum(w_np, axis=-1, keepdims=True)).T
+    sel = np.zeros((ratio, tile_t + 8, tile_t), np.float32)
+    idx = np.arange(tile_t)
+    for kk in range(ratio):
+        sel[kk, idx + kk, idx] = 1.0
+
+    return _tf_synthesis_jit(
+        sre, sim, h_mask, jnp.asarray(wtn), jnp.asarray(a_np),
+        jnp.asarray(b_np), jnp.asarray(sel),
+        hop_size=hop_size, win_len=win_len, matmul_dtype=matmul_dtype,
+        tile_t=tile_t, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "hop_size", "win_len", "matmul_dtype", "tile_t", "interpret"
+    ),
+)
+def _tf_synthesis_jit(
+    sre, sim, h_mask, wtn, a_basis, b_basis, sel,
+    *, hop_size, win_len, matmul_dtype, tile_t, interpret,
+):
+    b, c_ch, t, f = sre.shape
+    k = h_mask.shape[-1]
+    ratio = win_len // hop_size
+    fp = a_basis.shape[0]
+    # enough tiles to cover T plus the OLA tail
+    nt = -(-(t + ratio - 1) // tile_t)
+
+    kernel = functools.partial(
+        _tf_synth_kernel, c_ch, ratio, hop_size, t, f, matmul_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile_t, k), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, c_ch, tile_t, fp), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((1, c_ch, tile_t, fp), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((k, fp), lambda bi, i: (0, 0)),
+            pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
+            pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
+            pl.BlockSpec((ratio, tile_t + 8, tile_t), lambda bi, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_ch, tile_t * hop_size), lambda bi, i: (bi, 0, i)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, c_ch, nt * tile_t * hop_size), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_ch, (ratio - 1) * hop_size), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nt * tile_t * (k * fp + 2 * fp * win_len),
+            bytes_accessed=4 * b * t * (2 * c_ch * f + k)
+            + 4 * b * c_ch * nt * tile_t * hop_size,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(h_mask, sre, sim, wtn, a_basis, b_basis, sel)
+    # center_trim: drop window//2 from both ends of the untrimmed signal
+    half = win_len // 2
+    return jax.lax.slice_in_dim(out, half, half + (t - 1) * hop_size, axis=-1)

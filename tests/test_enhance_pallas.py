@@ -114,3 +114,59 @@ class TestEnhancePallas:
         np.testing.assert_allclose(
             got["enhanced"], ref["enhanced"], atol=2e-4
         )
+
+
+class TestTfSynthesis:
+    """tf_synthesis_pallas vs the composed XLA Wiener + masked ISTFT."""
+
+    def _setup(self, b=2, t=37, f=129, k=8, seed=0):
+        rng = np.random.default_rng(seed)
+        win = 2 * (f - 1)
+        spec = (
+            rng.standard_normal((b, 2, t, f))
+            + 1j * rng.standard_normal((b, 2, t, f))
+        ).astype(np.complex64)
+        h_mask = rng.random((b, t, k)).astype(np.float32)
+        w = rng.random((f, k)).astype(np.float32) + 1e-3
+        window = win_ops.hann_symmetric(win)
+        return spec, h_mask, w, window, win
+
+    def _xla_ref(self, spec, h_mask, w, window, hop, gain):
+        from gccnmf_tpu.ops import masks as mask_ops
+        from gccnmf_tpu.ops.stft import istft
+
+        tf = mask_ops.wiener_tf_mask(jnp.asarray(w, jnp.float32), jnp.asarray(h_mask))
+        out_spec = tf[:, None, :, :] * jnp.asarray(spec)
+        return np.asarray(
+            istft(out_spec, window, hop, conjugate=True, center_trim=True,
+                  method="fft") * gain
+        )
+
+    def test_matches_xla_tail(self):
+        from gccnmf_tpu.ops.enhance_pallas import tf_synthesis_pallas
+
+        spec, h_mask, w, window, win = self._setup()
+        hop = win // 4
+        gain = 0.5
+        ref = self._xla_ref(spec, h_mask, w, window, hop, gain)
+        out = np.asarray(tf_synthesis_pallas(
+            jnp.asarray(spec), jnp.asarray(h_mask), w, window,
+            hop_size=hop, gain=gain, matmul_dtype="float32", tile_t=16,
+            interpret=True,
+        ))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max())
+
+    def test_planes_input_matches_complex(self):
+        from gccnmf_tpu.ops.enhance_pallas import tf_synthesis_pallas
+
+        spec, h_mask, w, window, win = self._setup(seed=1)
+        hop = win // 8
+        kw = dict(hop_size=hop, gain=1.0, matmul_dtype="float32",
+                  tile_t=16, interpret=True)
+        a = np.asarray(tf_synthesis_pallas(
+            jnp.asarray(spec), jnp.asarray(h_mask), w, window, **kw))
+        b = np.asarray(tf_synthesis_pallas(
+            (jnp.asarray(spec.real), jnp.asarray(spec.imag)),
+            jnp.asarray(h_mask), w, window, **kw))
+        np.testing.assert_allclose(a, b, atol=1e-6)
