@@ -10,8 +10,9 @@ goes where the time is:
 - ``reconstruct``: attribution, masks, Wiener reconstruction, ISTFT
 - ``end_to_end``: the full separate_batch program
 
-Prints one JSON line per stage. Run on TPU; stages are fenced with a
-1-element fetch (see bench.py `_fence`).
+Prints one JSON line per stage. Run on TPU; repeats are queued
+asynchronously and fenced once, with the axon tunnel round trip
+subtracted (see bench.py `_timed_loop`).
 """
 
 import argparse
@@ -28,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--seconds", type=float, default=10.0)
     args = ap.parse_args()
 
@@ -64,13 +65,8 @@ def main():
     h0b = jnp.broadcast_to(jnp.asarray(h0), (b,) + h0.shape)
 
     def timed(fn, *fn_args):
-        out = fn(*fn_args)
-        bench._fence(out)
-        t0 = time.perf_counter()
-        for _ in range(args.repeats):
-            out = fn(*fn_args)
-            bench._fence(out)
-        dt = (time.perf_counter() - t0) / args.repeats
+        out = fn(*fn_args)  # warm/compile; also the returned value
+        dt = bench._timed_loop(lambda: fn(*fn_args), args.repeats)
         return dt, out
 
     audio_s = b * args.seconds
