@@ -181,9 +181,14 @@ class GCCNMFSeparator:
                 jnp.asarray(sin_m), hop_size=cfg.hop_size, conjugate=True,
                 matmul_dtype=gemm_dtype(cfg),
             )
-            # (..., 2, T, F) → (..., 2T, F): left‖right concatenated along
-            # time (runGCCNMF.py:40) is a free reshape in this layout
+            # (..., 2, T, FP) → (..., 2T, FP): left‖right concatenated
+            # along time (runGCCNMF.py:40) is a free reshape in this
+            # layout. The Pallas NMF consumes the lane-padded planes
+            # as-is (zero columns are inert); the XLA NMF contracts
+            # against the (F, K) dictionary, so slice to valid bins.
             v = vp.reshape(*vp.shape[:-3], -1, vp.shape[-1])
+            if self._nmf_backend != "pallas":
+                v = v[..., : cfg.num_freq]
             w, h = self._run_nmf(v, w0, h0)
             return sre, sim, w, h, cre, cim, ang
         spec = stft_ops.stft(
@@ -203,10 +208,19 @@ class GCCNMFSeparator:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _analyze(self, stereo: jax.Array, w0: jax.Array, h0: jax.Array):
-        """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang)."""
+        """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang).
+
+        Complex-assembly wrapper over :meth:`_analyze_planes` for
+        XLA-tail/user-facing consumers; the Pallas front-end's lane
+        padding is sliced off here."""
+        f = self.config.num_freq
         sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
         return (
-            jax.lax.complex(sre, sim), w, h, jax.lax.complex(cre, cim), ang
+            jax.lax.complex(sre[..., :f], sim[..., :f]),
+            w,
+            h,
+            jax.lax.complex(cre[..., :f], cim[..., :f]),
+            ang,
         )
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -282,8 +296,9 @@ class GCCNMFSeparator:
                 gain=stft_gain(cfg),
                 matmul_dtype=gemm_dtype(cfg),
             )
-        spec = jax.lax.complex(sre, sim)
-        coh = jax.lax.complex(cre, cim)
+        f = self.config.num_freq  # drop any lane padding for the XLA tail
+        spec = jax.lax.complex(sre[..., :f], sim[..., :f])
+        coh = jax.lax.complex(cre[..., :f], cim[..., :f])
         est, _ = jax.vmap(self._reconstruct)(spec, coh, w, h, target_indexes)
         return est
 
@@ -487,8 +502,9 @@ class GCCNMFEnhancer:
             )
             return out.reshape(*batch, *out.shape[-2:]), target_idx, ang
         if isinstance(spec, tuple):  # pallas front-end + XLA tail
-            spec = jax.lax.complex(*spec)
-            coh = jax.lax.complex(*coh)
+            f = cfg.num_freq  # drop lane padding
+            spec = jax.lax.complex(spec[0][..., :f], spec[1][..., :f])
+            coh = jax.lax.complex(coh[0][..., :f], coh[1][..., :f])
 
         # Per-(frame, atom) argmax-TDOA. scores[t,d,k] =
         # Σ_f (Re c·cos + Im c·sin)[t,f,d] · W[f,k]: fold steering and

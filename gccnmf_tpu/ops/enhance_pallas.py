@@ -161,18 +161,20 @@ def soft_mask_pallas(
         coh_re, coh_im = coh
     else:
         coh_re, coh_im = jnp.real(coh), jnp.imag(coh)
-    b, t, f = coh_re.shape
+    b, t, f_in = coh_re.shape  # may be lane-padded wider than steering F
     w = np.asarray(w, np.float32)
     cos_m = np.asarray(cos_m, np.float32)
     sin_m = np.asarray(sin_m, np.float32)
+    f = cos_m.shape[0]  # true bin count
     d = cos_m.shape[1]
     k = w.shape[1]
-    fp = -(-f // 128) * 128
+    fp = max(-(-f // 128) * 128, -(-f_in // 128) * 128)
     kp = -(-k // 128) * 128
     dp = -(-d // chunk_d) * chunk_d
 
     # Steering-folded dictionary slabs (D, F, K) → padded (Dp, Fp, Kp);
-    # zero pads are inert (zero scores never win via the index guard).
+    # zero pads are inert (zero scores never win via the index guard, and
+    # lane-padded coherence planes carry exact zeros there).
     cw = np.zeros((dp, fp, kp), np.float32)
     sw = np.zeros((dp, fp, kp), np.float32)
     cw[:d, :f, :k] = np.transpose(cos_m)[:, :, None] * w[None, :, :]
@@ -406,13 +408,16 @@ def tf_synthesis_pallas(
         sre, sim = spec
     else:
         sre, sim = jnp.real(spec), jnp.imag(spec)
-    b, c_ch, t, f = sre.shape
+    b, c_ch, t, f_in = sre.shape
     k = h_mask.shape[-1]
     window = np.asarray(window, np.float32)
     win_len = window.shape[0]
     if win_len % hop_size != 0:
         raise ValueError("window length must be a multiple of hop_size")
-    if 2 * (f - 1) != win_len:
+    # valid bins from the transform size; planes may be lane-padded wider
+    # (the fused front-end emits exact-zero pads up to the 128-lane tile)
+    f = win_len // 2 + 1
+    if f_in < f:
         raise ValueError("window length inconsistent with spectrogram bins")
     ratio = win_len // hop_size
 

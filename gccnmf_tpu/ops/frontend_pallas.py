@@ -136,14 +136,19 @@ def stft_gcc_frontend_pallas(
     ``cos_m``/``sin_m``: (F, D) steering planes.
 
     Returns six f32 planes ``(spec_re, spec_im, v, coh_re, coh_im, ang)``:
-    ``spec_re/spec_im`` (..., 2, T, F) — re/im of the spectrogram
-    (conjugated iff ``conjugate``; ``lax.complex`` of the pair equals
+    ``spec_re/spec_im`` (..., 2, T, FP) — re/im of the spectrogram
+    (conjugated iff ``conjugate``; ``lax.complex`` of ``[..., :F]`` equals
     ``stft(..., conjugate=conjugate, method="matmul")``), ``v`` (..., 2,
-    T, F) magnitudes |X|, ``coh_re/coh_im`` (..., T, F) — re/im of the
+    T, FP) magnitudes |X|, ``coh_re/coh_im`` (..., T, FP) — re/im of the
     PHAT coherence, ``ang`` (..., T, D) angular spectrogram. Planes
     instead of complex because every consumer (NMF, attribution, the
     synthesis kernels) wants the planes anyway — assembling complex64
-    would add two full HBM passes. Requires ``window % hop == 0``.
+    would add two full HBM passes. ``FP`` is F rounded up to the 128-lane
+    tile; the padded lanes are exact zeros (inert through NMF,
+    attribution, Wiener masking, and the iDFT bases, all of which
+    zero-pad their frequency operands) and lane-aligned stores are ~10 ms
+    faster at the bench shape than storing F-wide clipped blocks.
+    Requires ``window % hop == 0``.
 
     ``matmul_dtype``: "bfloat16" single-pass MXU GEMMs (throughput default,
     same posture as the other fused kernels) or "float32"
@@ -224,13 +229,16 @@ def stft_gcc_frontend_pallas(
             out4(fp), out4(fp), out4(fp), out3(fp), out3(fp), out3(dp)
         ),
         out_shape=(
-            # unpadded shapes: edge blocks are clipped on store, so the
-            # caller never pays a slice pass over ~GB-sized planes
-            jax.ShapeDtypeStruct((b, 2, t, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, t, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, t, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, t, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, t, f), jnp.float32),
+            # T unpadded (only the LAST tile's store is clipped), F padded
+            # to the lane tile (lane-aligned stores everywhere — storing
+            # F=513-wide blocks masks every store and measured ~10 ms at
+            # the bench shape; padded lanes are exact zeros, which every
+            # consumer treats as inert)
+            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, fp), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, fp), jnp.float32),
             jax.ShapeDtypeStruct((b, t, d), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(

@@ -94,7 +94,10 @@ def attribution_winner_planes(
     w: jax.Array,
 ) -> jax.Array:
     """:func:`attribution_winner` on pre-split coherence planes (what the
-    fused Pallas front-end emits — skips the complex round trip)."""
+    fused Pallas front-end emits — skips the complex round trip). The
+    planes may be lane-padded wider than the steering F (the front-end
+    pads F to the 128-lane tile with zeros); the folded dictionary is
+    zero-extended to match, so padded lanes contribute nothing."""
     cos_sel = jnp.swapaxes(
         jnp.asarray(cos_m).T[jnp.asarray(target_indexes)], -1, -2
     )  # (B, F, N)
@@ -105,6 +108,11 @@ def attribution_winner_planes(
     k = w.shape[-1]
     cw = (cos_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
     sw = (sin_sel[..., None] * w[..., None, :]).reshape(b, f, n * k)
+    fp = coh_re.shape[-1]
+    if fp != f:
+        pad = ((0, 0), (0, fp - f), (0, 0))
+        cw = jnp.pad(cw, pad)
+        sw = jnp.pad(sw, pad)
     flat = jnp.matmul(
         coh_re, cw, precision=_HIGHEST()
     ) + jnp.matmul(coh_im, sw, precision=_HIGHEST())

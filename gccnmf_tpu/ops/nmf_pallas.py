@@ -204,21 +204,27 @@ def kl_nmf_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     batch = v.shape[:-2]
-    t, f = v.shape[-2:]
+    t, f_v = v.shape[-2:]  # V may arrive lane-padded wider than F
+    f = w0.shape[-2]  # true bin count from the dictionary
+    if f_v < f:
+        raise ValueError("V has fewer frequency bins than W")
     k = w0.shape[-1]
-    v2 = v.reshape((-1, t, f)).astype(jnp.float32)
+    v2 = v.reshape((-1, t, f_v)).astype(jnp.float32)
     w2 = w0.reshape((-1, f, k)).astype(jnp.float32)
     h2 = h0.reshape((-1, t, k)).astype(jnp.float32)
     b = v2.shape[0]
 
-    # pad to TPU tile multiples with epsilon (strict positivity)
+    # pad to TPU tile multiples with epsilon (strict positivity; V planes
+    # from the fused front-end arrive pre-padded with exact zeros — zero
+    # columns are inert through the guarded updates)
     v2, _ = pad_to_multiple(v2, 1, 8, epsilon)
     v2, _ = pad_to_multiple(v2, 2, 128, epsilon)
-    w2, _ = pad_to_multiple(w2, 1, 128, epsilon)
+    fp = v2.shape[2]
+    w2, _ = pad_to_multiple(w2, 1, fp, epsilon)  # match V's padded bins
     w2, _ = pad_to_multiple(w2, 2, 128, epsilon)
     h2, _ = pad_to_multiple(h2, 1, 8, epsilon)
     h2, _ = pad_to_multiple(h2, 2, 128, epsilon)
-    tp, fp = v2.shape[1:]
+    tp = v2.shape[1]
     kp = w2.shape[2]
 
     kernel = functools.partial(

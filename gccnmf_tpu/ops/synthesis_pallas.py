@@ -181,12 +181,15 @@ def masked_synthesis_pallas(
         spec_re, spec_im = spec
     else:
         spec_re, spec_im = jnp.real(spec), jnp.imag(spec)
-    f = spec_re.shape[-1]
     window = np.asarray(window, np.float32)
     win_len = window.shape[0]
     if win_len % hop_size != 0:
         raise ValueError("window length must be a multiple of hop_size")
-    if 2 * (f - 1) != win_len:
+    # valid bins from the transform size; the planes may be lane-padded
+    # wider (the fused front-end emits F rounded to the 128-lane tile,
+    # with exact-zero pads — inert against the zero-padded iDFT bases)
+    f = win_len // 2 + 1
+    if spec_re.shape[-1] < f:
         raise ValueError("window length inconsistent with spectrogram bins")
 
     # iDFT basis with synthesis window and gain folded in; F padded to the
@@ -221,7 +224,8 @@ def _synthesis_jit(
     spec_re, spec_im, winner, w, h_stereo, a_basis, b_basis, sel,
     *, num_targets, hop_size, win_len, matmul_dtype, tile_t, interpret,
 ):
-    b, c_ch, t, f = spec_re.shape
+    b, c_ch, t, f_in = spec_re.shape  # f_in may be lane-padded (≥ F)
+    f_w = w.shape[-2]  # dictionary rows = true F
     k = w.shape[-1]
     ratio = win_len // hop_size
     fp = a_basis.shape[0]
@@ -232,14 +236,14 @@ def _synthesis_jit(
     t_pad = -(-(t + ratio - 1) // tile_t) * tile_t
     re = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
     im = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
-    re = re.at[:, :, :t, :f].set(spec_re)
-    im = im.at[:, :, :t, :f].set(spec_im)
+    re = re.at[:, :, :t, :f_in].set(spec_re)
+    im = im.at[:, :, :t, :f_in].set(spec_im)
     win_pad = jnp.full((b, t_pad, k), -1, jnp.int32)
     win_pad = win_pad.at[:, :t].set(winner.astype(jnp.int32))
     h_pad = jnp.zeros((b, c_ch, t_pad, k), jnp.float32)
     h_pad = h_pad.at[:, :, :t].set(h_stereo.astype(jnp.float32))
     wt = jnp.zeros((b, k, fp), jnp.float32)
-    wt = wt.at[:, :, :f].set(jnp.swapaxes(w.astype(jnp.float32), -1, -2))
+    wt = wt.at[:, :, :f_w].set(jnp.swapaxes(w.astype(jnp.float32), -1, -2))
 
     nt = t_pad // tile_t
     kernel = functools.partial(

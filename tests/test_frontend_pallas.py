@@ -41,14 +41,18 @@ class TestFrontendKernel:
             jnp.asarray(sin_m), hop_size=HOP, matmul_dtype="float32",
             tile_t=32, interpret=True,
         )
-        assert sre.shape == spec_r.shape and ang.shape == ang_r.shape
+        # planes are lane-padded to the 128 tile; padded lanes are zeros
+        assert sre.shape[-1] == 640 and ang.shape == ang_r.shape
+        assert float(jnp.max(jnp.abs(sre[..., F:]))) == 0.0
         np.testing.assert_allclose(
-            np.asarray(jax.lax.complex(sre, sim)), np.asarray(spec_r),
+            np.asarray(jax.lax.complex(sre, sim)[..., :F]), np.asarray(spec_r),
             atol=2e-5,
         )
-        np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=2e-5)
         np.testing.assert_allclose(
-            np.asarray(jax.lax.complex(cre, cim)), np.asarray(coh_r),
+            np.asarray(v[..., :F]), np.asarray(v_r), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.lax.complex(cre, cim)[..., :F]), np.asarray(coh_r),
             atol=2e-3,
         )
         np.testing.assert_allclose(
@@ -69,8 +73,8 @@ class TestFrontendKernel:
             matmul_dtype="float32", tile_t=32, interpret=True,
         )
         np.testing.assert_allclose(
-            np.asarray(jax.lax.complex(sre, sim)), np.asarray(spec_r),
-            atol=2e-5,
+            np.asarray(jax.lax.complex(sre, sim)[..., :F]),
+            np.asarray(spec_r), atol=2e-5,
         )
 
     def test_rejects_non_divisible_hop(self):
@@ -160,3 +164,30 @@ class TestFrontendPipelines:
         np.testing.assert_allclose(
             outs["xla"]["enhanced"], outs["pallas"]["enhanced"], atol=5e-4
         )
+
+    def test_lane_padded_v_through_pallas_nmf(self):
+        """The fused front-end's lane-padded V must feed the Pallas NMF
+        directly (zero columns inert, dictionary sliced back to F)."""
+        from gccnmf_tpu.ops import nmf
+        from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
+
+        rng = np.random.default_rng(5)
+        t, f, k = 24, 513, 8
+        v = (rng.random((2, t, f)) + 1e-3).astype(np.float32)
+        fp = 640
+        v_padded = np.zeros((2, t, fp), np.float32)
+        v_padded[..., :f] = v
+        w0, h0 = nmf.nmf_init_numpy(f, k, t)
+        w0b = np.broadcast_to(w0, (2,) + w0.shape)
+        h0b = np.broadcast_to(h0, (2,) + h0.shape)
+        w_a, h_a = kl_nmf_pallas(
+            jnp.asarray(v), jnp.asarray(w0b), jnp.asarray(h0b), 10,
+            matmul_dtype="float32", interpret=True,
+        )
+        w_b, h_b = kl_nmf_pallas(
+            jnp.asarray(v_padded), jnp.asarray(w0b), jnp.asarray(h0b), 10,
+            matmul_dtype="float32", interpret=True,
+        )
+        assert w_b.shape == w_a.shape and h_b.shape == h_a.shape
+        np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=2e-5)
