@@ -1,0 +1,727 @@
+#!/usr/bin/env python
+"""Generate the five tutorial notebooks (reference parity: README.md:30-37
+lists five notebooks as the project's primary documentation; four are
+missing blobs in the reference snapshot, so these are re-authored from the
+framework's own API rather than translated).
+
+Notebooks honor two environment variables so the test suite can execute
+them end-to-end quickly (tests/test_notebooks.py):
+
+- ``GCCNMF_NB_FAST=1``   — shrink every workload to a seconds-long smoke run
+  and force the CPU backend;
+- ``GCCNMF_NB_OUTDIR``   — where notebooks write audio/figures (defaults to
+  ``notebooks/output``).
+
+Run ``python notebooks/build_notebooks.py`` to regenerate all .ipynb files
+after editing this script (the .ipynb files are committed, this script is
+their single source of truth).
+"""
+
+from __future__ import annotations
+
+import os
+
+import nbformat
+from nbformat.v4 import new_code_cell, new_markdown_cell, new_notebook
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+SETUP = '''\
+import os, sys, importlib.util
+
+# Make the repo importable whether the kernel starts in notebooks/ or the root.
+if importlib.util.find_spec("gccnmf_tpu") is None:
+    for cand in (os.path.abspath(".."), os.path.abspath(".")):
+        if os.path.isdir(os.path.join(cand, "gccnmf_tpu")):
+            sys.path.insert(0, cand)
+            break
+
+# GCCNMF_NB_FAST=1 shrinks every workload to a seconds-long smoke run on CPU
+# (used by tests/test_notebooks.py); unset it for the full tutorial.
+FAST = bool(os.environ.get("GCCNMF_NB_FAST"))
+if FAST:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import matplotlib
+
+if not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from gccnmf_tpu import defs, viz
+from gccnmf_tpu.utils import wav
+
+OUT_DIR = os.environ.get("GCCNMF_NB_OUTDIR") or os.path.join(os.getcwd(), "output")
+os.makedirs(OUT_DIR, exist_ok=True)\
+'''
+
+
+def _nb(cells):
+    nb = new_notebook(
+        cells=cells,
+        metadata=dict(
+            kernelspec=dict(
+                display_name="Python 3", language="python", name="python3"
+            ),
+            language_info=dict(name="python"),
+        ),
+    )
+    return nb
+
+
+def _md(text):
+    return new_markdown_cell(text)
+
+
+def _code(text):
+    return new_code_cell(text)
+
+
+# --------------------------------------------------------------------------
+# 1. Offline speech separation
+# --------------------------------------------------------------------------
+
+def offline_separation():
+    cells = [
+        _md(
+            "# Offline blind speech separation with GCC-NMF\n"
+            "\n"
+            "TPU-native tutorial mirroring the reference's "
+            "`speechSeparationGCCNMF.ipynb` (a missing blob in the reference "
+            "snapshot; the algorithm is `gccNMF/runGCCNMF.py:30-77` and "
+            "`gccNMF/gccNMFFunctions.py`).\n"
+            "\n"
+            "**GCC-NMF** combines two unsupervised ingredients:\n"
+            "\n"
+            "1. **GCC-PHAT** spatial localization — the phase-transform-"
+            "weighted cross-correlation between the two microphone channels "
+            "yields an *angular spectrogram*: evidence for sound arriving at "
+            "each candidate time-difference-of-arrival (TDOA) at each frame.\n"
+            "2. **KL-NMF** dictionary learning — the mixture magnitude "
+            "spectrogram is factorized as `V ≈ W·H` with multiplicative "
+            "updates; each dictionary atom captures a recurring spectral "
+            "shape.\n"
+            "\n"
+            "At each frame, every atom is *attributed* to the TDOA its "
+            "spatial evidence points at; atoms pointing at a target "
+            "direction keep their coefficients, others are zeroed, and each "
+            "source is reconstructed with a Wiener-style mask and the "
+            "mixture phase.\n"
+            "\n"
+            "On TPU the whole pipeline — STFT, NMF loop, angular "
+            "spectrogram, masking, ISTFT — runs as a single fused XLA/"
+            "Pallas program (`gccnmf_tpu.models.offline.GCCNMFSeparator`)."
+        ),
+        _code(SETUP),
+        _md(
+            "## The mixture\n"
+            "\n"
+            "The bundled demo file is a 10 s, 16 kHz stereo live recording "
+            "of **three simultaneous female speakers** (SiSEC dev1, 1 m "
+            "microphone spacing, 130 ms reverberation — the same file the "
+            "reference demos with, `gccNMF/runGCCNMF.py:72`)."
+        ),
+        _code(
+            'stereo, sample_rate = wav.read_wav(defs.DEFAULT_SEPARATION_FILE)\n'
+            "if FAST:\n"
+            "    stereo = stereo[:, : 2 * sample_rate]\n"
+            'print(viz.describe_mixture_signal(stereo, sample_rate))\n'
+            'viz.plot_waveform(stereo, sample_rate, title="stereo mixture")\n'
+            "plt.show()"
+        ),
+        _md(
+            "## Configure and separate\n"
+            "\n"
+            "`OfflineConfig` defaults reproduce the reference demo exactly "
+            "(`runGCCNMF.py:56-77`): 1024-sample windows, hop 128, 128 "
+            "candidate TDOAs over ±(mic separation)/c, a 128-atom "
+            "dictionary, 100 multiplicative updates.\n"
+            "\n"
+            "`separate` runs the full device pipeline and returns every "
+            "intermediate product for inspection."
+        ),
+        _code(
+            "from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig\n"
+            "\n"
+            "overrides = (\n"
+            "    dict(num_iterations=10, dictionary_size=32, num_tdoas=64)\n"
+            "    if FAST\n"
+            "    else {}\n"
+            ")\n"
+            "cfg = OfflineConfig(sample_rate=sample_rate, num_sources=3, **overrides)\n"
+            "separator = GCCNMFSeparator(cfg)\n"
+            "result = separator.separate(stereo)\n"
+            'print("localized target TDOA indexes:", result["target_tdoa_indexes"])'
+        ),
+        _md(
+            "## GCC-PHAT localization\n"
+            "\n"
+            "Left: the angular spectrogram (TDOA × time). Right: its time "
+            "average, whose local maxima localize the three speakers "
+            "(reference `estimateTargetTDOAIndexesFromAngularSpectrum`, "
+            "`gccNMFFunctions.py:94-116`)."
+        ),
+        _code(
+            "fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 3.5))\n"
+            'viz.plot_angular_spectrogram(result["angular"], sample_rate, cfg.hop_size, ax=ax1)\n'
+            "viz.plot_localization(\n"
+            '    result["angular"].mean(axis=-2), result["target_tdoa_indexes"], ax=ax2\n'
+            ")\n"
+            "plt.tight_layout()\n"
+            "plt.show()"
+        ),
+        _md(
+            "## The learned NMF decomposition\n"
+            "\n"
+            "W's columns are spectral atoms (note the harmonic stacks); H "
+            "holds their per-frame activations over the left‖right "
+            "concatenated frames (reference `performKLNMF`, "
+            "`gccNMFFunctions.py:69-83`)."
+        ),
+        _code(
+            'print(viz.describe_nmf(result["w"], result["h"]))\n'
+            'viz.plot_nmf_decomposition(result["w"], result["h"])\n'
+            "plt.show()"
+        ),
+        _md(
+            "## Coefficient masks\n"
+            "\n"
+            "Each atom-frame coefficient is assigned to the target whose "
+            "TDOA its GCC evidence points at (hard arg-max attribution, "
+            "reference `getTargetCoefficientMasks`, "
+            "`gccNMFFunctions.py:137-143`)."
+        ),
+        _code(
+            'viz.plot_coefficient_masks(result["coefficient_masks"])\n'
+            "plt.show()"
+        ),
+        _md(
+            "## Separated sources\n"
+            "\n"
+            "Wiener-style reconstruction `W·(H⊙mask)` with the mixture "
+            "phase, then ISTFT (reference `getTargetSpectrogramEstimates` / "
+            "`getTargetSignalEstimates`, `gccNMFFunctions.py:145-163`)."
+        ),
+        _code(
+            'est = result["estimates"]  # (num_targets, 2, n)\n'
+            "fig, axes = plt.subplots(\n"
+            "    est.shape[0], 1, figsize=(10, 2.2 * est.shape[0]), sharex=True\n"
+            ")\n"
+            "for i, ax in enumerate(np.atleast_1d(axes)):\n"
+            '    viz.plot_waveform(est[i], sample_rate, ax=ax, title=f"estimated source {i}")\n'
+            "plt.tight_layout()\n"
+            "plt.show()\n"
+            "\n"
+            "for i, sig in enumerate(est):\n"
+            '    path = os.path.join(OUT_DIR, f"separated_source_{i}.wav")\n'
+            "    wav.write_wav(sig, path, sample_rate)\n"
+            '    print("wrote", path)'
+        ),
+        _md(
+            "## Scaling up\n"
+            "\n"
+            "- CLI: `gccnmf-separate mixture.wav --num-sources 3` "
+            "(one file), or `separator.separate_batch` for utterance "
+            "batches — the benchmark configuration (`bench.py`) separates "
+            "128 utterances per program dispatch at thousands of "
+            "audio-seconds per second per chip.\n"
+            "- Hour-long recordings: `gccnmf-separate --time-shards N` "
+            "shards the STFT time axis across devices "
+            "(`gccnmf_tpu.parallel.long_audio`).\n"
+            "- `examples/offline_separation.py` is this notebook as a "
+            "script."
+        ),
+    ]
+    return _nb(cells)
+
+
+# --------------------------------------------------------------------------
+# 2. Offline speech enhancement
+# --------------------------------------------------------------------------
+
+def offline_enhancement():
+    cells = [
+        _md(
+            "# Offline speech enhancement with GCC-NMF\n"
+            "\n"
+            "TPU-native tutorial mirroring the reference's "
+            "`speechEnhancementGCCNMF.ipynb` (missing blob in the reference "
+            "snapshot). Enhancement is separation specialised to one "
+            "target: a **pre-learned** dictionary W is attributed per "
+            "frame between the localized target direction and everything "
+            "else, and a soft Wiener mask keeps the target.\n"
+            "\n"
+            "Unlike separation, no NMF is trained on the test signal — W "
+            "comes from `gccnmf_tpu.pretrain` (reference "
+            "`gccNMFPretraining.py:43-87`), so the hot path is just "
+            "STFT → GCC → attribution → mask → ISTFT."
+        ),
+        _code(SETUP),
+        _md(
+            "## Noisy input and pre-learned dictionary\n"
+            "\n"
+            "The demo file is a stereo recording of a speaker in real "
+            "background noise (`dev_Sq1_Co_A_mix.wav`, the reference's "
+            "real-time default, `gccNMF/defs.py:38`). Dictionaries are "
+            "pre-learned once and cached on disk, keyed by size, window "
+            "size, and corpus fingerprint (the reference's cache is keyed "
+            "by size only — a stale-cache hazard this framework fixes)."
+        ),
+        _code(
+            "from gccnmf_tpu import pretrain\n"
+            "\n"
+            "stereo, sample_rate = wav.read_wav(defs.DEFAULT_AUDIO_FILE)\n"
+            "if FAST:\n"
+            "    stereo = stereo[:, : 2 * sample_rate]\n"
+            "size = 16 if FAST else 64\n"
+            'banks = pretrain.get_dictionaries(1024, sizes=(size,))\n'
+            'w = banks["Pretrained"][size]\n'
+            'print("dictionary W:", w.shape)\n'
+            'viz.plot_waveform(stereo, sample_rate, title="noisy input")\n'
+            "plt.show()"
+        ),
+        _md(
+            "## Enhance\n"
+            "\n"
+            "`GCCNMFEnhancer` localizes the strongest direction from the "
+            "time-averaged angular spectrum, then applies a generalized-"
+            "Gaussian soft mask over each atom's arg-max TDOA distance to "
+            "the target (the streaming mask of "
+            "`gccNMFProcessor.py:259-269`, applied whole-utterance)."
+        ),
+        _code(
+            "from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig\n"
+            "\n"
+            "cfg = OfflineConfig(\n"
+            "    sample_rate=sample_rate, mic_separation_m=0.1, num_tdoas=64\n"
+            ")\n"
+            "enhancer = GCCNMFEnhancer(w, cfg)\n"
+            "result = enhancer.enhance(stereo)\n"
+            "enhanced = result[\"enhanced\"]\n"
+            'print("localized target TDOA index:", int(result["target_tdoa_index"]))'
+        ),
+        _md("## Where the target was localized"),
+        _code(
+            "fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 3.5))\n"
+            'viz.plot_angular_spectrogram(result["angular"], sample_rate, cfg.hop_size, ax=ax1)\n'
+            "viz.plot_localization(\n"
+            '    result["angular"].mean(axis=-2),\n'
+            '    [int(result["target_tdoa_index"])],\n'
+            "    ax=ax2,\n"
+            ")\n"
+            "plt.tight_layout()\n"
+            "plt.show()"
+        ),
+        _md(
+            "## Before / after\n"
+            "\n"
+            "Cube-root-compressed magnitude spectrograms of channel 0 — "
+            "note the suppressed diffuse noise between speech harmonics."
+        ),
+        _code(
+            "import jax.numpy as jnp\n"
+            "\n"
+            "from gccnmf_tpu.ops import stft as stft_ops, windows\n"
+            "\n"
+            "win = jnp.asarray(windows.hann_symmetric(cfg.window_size))\n"
+            "\n"
+            "def magnitude(x):\n"
+            "    spec = stft_ops.stft(jnp.asarray(x), win, cfg.hop_size)\n"
+            "    return np.abs(np.asarray(spec))[0]  # channel 0 → (T, F)\n"
+            "\n"
+            "fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 3.5), sharey=True)\n"
+            'viz.plot_spectrogram(magnitude(stereo), sample_rate, cfg.hop_size, ax=ax1, title="noisy")\n'
+            'viz.plot_spectrogram(magnitude(enhanced), sample_rate, cfg.hop_size, ax=ax2, title="enhanced")\n'
+            "plt.tight_layout()\n"
+            "plt.show()\n"
+            "\n"
+            'out_path = os.path.join(OUT_DIR, "enhanced.wav")\n'
+            "wav.write_wav(enhanced, out_path, sample_rate)\n"
+            'print("wrote", out_path)'
+        ),
+        _md(
+            "## Notes\n"
+            "\n"
+            "- CLI equivalent: `gccnmf-enhance noisy.wav --mode offline`.\n"
+            "- Batched throughput: `enhancer.enhance` accepts `(B, 2, n)` "
+            "stacks — the bench configuration enhances >20k audio-seconds "
+            "per second per v5e chip.\n"
+            "- Quality metrics (`gccnmf_tpu.metrics`): `snr`, `si_sdr`, "
+            "`sdr`, `stoi`, and `permutation_invariant` for multi-source "
+            "evaluation against clean references."
+        ),
+    ]
+    return _nb(cells)
+
+
+# --------------------------------------------------------------------------
+# 3. Online speech enhancement (+ moving-speaker localization)
+# --------------------------------------------------------------------------
+
+def online_enhancement():
+    cells = [
+        _md(
+            "# Online (frame-causal) speech enhancement\n"
+            "\n"
+            "TPU-native tutorial mirroring the reference's "
+            "`onlineSpeechEnhancementGCCNMF.ipynb` (missing blob in the "
+            "reference snapshot). *Online* means every output frame is "
+            "computed from past input only: localization uses a causal "
+            "accumulated GCC-PHAT instead of the whole-utterance average, "
+            "and the mask is recomputed each frame — the formulation that "
+            "streaming / real-time operation builds on.\n"
+            "\n"
+            "On TPU the frame recursion is a single `lax.scan` over the "
+            "spectrogram with carried localization state "
+            "(`gccnmf_tpu.models.online.OnlineGCCNMFEnhancer`) — compiled "
+            "once, no per-frame host round trips."
+        ),
+        _code(SETUP),
+        _code(
+            "from gccnmf_tpu import pretrain\n"
+            "from gccnmf_tpu.models.online import OnlineConfig, OnlineGCCNMFEnhancer\n"
+            "\n"
+            "stereo, sample_rate = wav.read_wav(defs.DEFAULT_AUDIO_FILE)\n"
+            "if FAST:\n"
+            "    stereo = stereo[:, : 2 * sample_rate]\n"
+            "size = 16 if FAST else 64\n"
+            'w = pretrain.get_dictionaries(1024, sizes=(size,))["Pretrained"][size]\n'
+            "\n"
+            "enhancer = OnlineGCCNMFEnhancer(\n"
+            "    w, OnlineConfig(sample_rate=sample_rate, num_h_updates=0)\n"
+            ")\n"
+            "result = enhancer.enhance(stereo)\n"
+            'enhanced = result["enhanced"]\n'
+            'print("enhanced:", enhanced.shape)'
+        ),
+        _md(
+            "## Causal localization track\n"
+            "\n"
+            "The per-frame target TDOA follows the arg-max of the causally "
+            "smoothed angular spectrum — it locks on within a fraction of "
+            "a second and then tracks."
+        ),
+        _code(
+            'track = np.asarray(result["target_tdoa_index"]).ravel()\n'
+            "t = np.arange(track.size) * enhancer.config.hop_size / sample_rate\n"
+            "plt.figure(figsize=(10, 2.5))\n"
+            "plt.plot(t, track, linewidth=1.0)\n"
+            'plt.xlabel("time (s)")\n'
+            'plt.ylabel("target TDOA index")\n'
+            'plt.title("causal localization track")\n'
+            "plt.show()"
+        ),
+        _md("## Input vs output"),
+        _code(
+            "fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 4.5), sharex=True)\n"
+            'viz.plot_waveform(stereo, sample_rate, ax=ax1, title="noisy input")\n'
+            'viz.plot_waveform(enhanced, sample_rate, ax=ax2, title="online enhanced")\n'
+            "plt.tight_layout()\n"
+            "plt.show()\n"
+            "\n"
+            'out_path = os.path.join(OUT_DIR, "online_enhanced.wav")\n'
+            "wav.write_wav(enhanced, out_path, sample_rate)\n"
+            'print("wrote", out_path)'
+        ),
+        _md(
+            "## Moving-speaker localization\n"
+            "\n"
+            "`dev_A_1_2_3_4_mix.wav` contains speakers at changing "
+            "positions (the reference's moving-speaker localization demo). "
+            "The raw per-frame angular spectrogram is noisy; a short "
+            "sliding mean (the same smoothing the causal tracker uses) "
+            "makes the TDOA trajectory visible."
+        ),
+        _code(
+            "import jax.numpy as jnp\n"
+            "\n"
+            "from gccnmf_tpu.ops import gcc, stft as stft_ops, windows\n"
+            "\n"
+            'moving, sr2 = wav.read_wav(os.path.join(defs.DATA_DIR, "dev_A_1_2_3_4_mix.wav"))\n'
+            "if FAST:\n"
+            "    moving = moving[:, : 3 * sr2]\n"
+            "window_size, hop, num_tdoas = 1024, 128, 128\n"
+            "win = jnp.asarray(windows.hann_symmetric(window_size))\n"
+            "spec = stft_ops.stft(jnp.asarray(moving), win, hop)\n"
+            "coh = gcc.coherence(spec, eps=1e-12)\n"
+            "cos_m, sin_m = gcc.steering_cos_sin(\n"
+            "    sr2, window_size // 2 + 1, 0.1, num_tdoas\n"
+            ")\n"
+            "ang = np.asarray(gcc.angular_spectrogram(coh, cos_m, sin_m))\n"
+            "\n"
+            "# sliding-mean smoothing over ~0.25 s of frames, then arg-max track\n"
+            "L = max(1, int(0.25 * sr2 / hop))\n"
+            "kernel = np.ones(L) / L\n"
+            "smoothed = np.apply_along_axis(\n"
+            '    lambda a: np.convolve(a, kernel, mode="same"), 0, ang\n'
+            ")\n"
+            "track = smoothed.argmax(axis=-1)\n"
+            "\n"
+            "ax = viz.plot_angular_spectrogram(ang, sr2, hop, title=\"moving speakers\")\n"
+            "frames_t = np.arange(track.size) * hop / sr2\n"
+            'ax.plot(frames_t, track, color="cyan", linewidth=1.2, label="smoothed arg-max")\n'
+            'ax.legend(loc="upper right", fontsize="small")\n'
+            "plt.show()"
+        ),
+        _md(
+            "## Notes\n"
+            "\n"
+            "- CLI equivalent: `gccnmf-enhance noisy.wav --mode online`.\n"
+            "- `num_h_updates > 0` adds per-frame NMF coefficient inference "
+            "with the frozen dictionary (the reference plumbs this "
+            "parameter but never uses it in the hot path, "
+            "`gccNMFProcessor.py`).\n"
+            "- The streaming/real-time stack "
+            "(`lowLatencySpeechEnhancement.ipynb`, "
+            "`realtimeSpeechEnhancement.ipynb`) wraps this same per-frame "
+            "recursion behind block I/O."
+        ),
+    ]
+    return _nb(cells)
+
+
+# --------------------------------------------------------------------------
+# 4. Low-latency enhancement (asymmetric windows)
+# --------------------------------------------------------------------------
+
+def low_latency():
+    cells = [
+        _md(
+            "# Low-latency speech enhancement with asymmetric STFT windows\n"
+            "\n"
+            "TPU-native tutorial mirroring the reference's "
+            "`lowLatencySpeechEnhancementGCCNMF.ipynb` (missing blob; the "
+            "claim it demonstrates — symmetric windowing bounds latency "
+            "at > 64 ms while asymmetric windowing reaches < 2 ms — is "
+            "`README.md:78`).\n"
+            "\n"
+            "With symmetric windows the algorithmic latency is set by the "
+            "**synthesis** window length: a sample is only complete once "
+            "every window covering it has been overlap-added. Asymmetric "
+            "windowing keeps a long analysis rise (frequency resolution "
+            "for the mask) but makes the synthesis window nonzero only "
+            "over its final `synthesis_length` samples, so latency drops "
+            "to `synthesis_length - hop + block` samples."
+        ),
+        _code(SETUP),
+        _md(
+            "## The window pair\n"
+            "\n"
+            "`asymmetric_analysis_synthesis_pair` constructs the pair so "
+            "the product overlap-adds to an exact constant (COLA) at the "
+            "chosen hop — verified numerically below."
+        ),
+        _code(
+            "from gccnmf_tpu.ops import windows\n"
+            "\n"
+            "window_size, hop = 1024, 32\n"
+            "synthesis_length = 64\n"
+            "wa, ws = windows.asymmetric_analysis_synthesis_pair(\n"
+            "    window_size, synthesis_length, hop\n"
+            ")\n"
+            'print("COLA deviation:", windows.cola_check(wa * ws, hop))\n'
+            "\n"
+            "fig, axes = plt.subplots(3, 1, figsize=(10, 5), sharex=True)\n"
+            'axes[0].plot(wa); axes[0].set_title("analysis window (long sqrt-Hann rise)")\n'
+            'axes[1].plot(ws); axes[1].set_title(f"synthesis window (final {synthesis_length} samples)")\n'
+            'axes[2].plot(wa * ws); axes[2].set_title("product (overlap-adds to a constant)")\n'
+            "plt.tight_layout()\n"
+            "plt.show()"
+        ),
+        _md(
+            "## Latency budget\n"
+            "\n"
+            "At 16 kHz with `hop = block = 32` and `synthesis_length = 64` "
+            "the algorithmic latency is `(64 - 32 + 32) / 16000 = 4 ms`; "
+            "shrink both to approach the paper's 2 ms operating point. "
+            "Compare the symmetric default: `1024 / 16000 = 64 ms`."
+        ),
+        _code(
+            "from gccnmf_tpu import pretrain\n"
+            "from gccnmf_tpu.models.realtime import (\n"
+            "    RTGCCNMFProcessor, StreamConfig, StreamParams,\n"
+            ")\n"
+            "\n"
+            "stereo, sample_rate = wav.read_wav(defs.DEFAULT_AUDIO_FILE)\n"
+            "if FAST:\n"
+            "    stereo = stereo[:, : sample_rate // 2]\n"
+            "size = 16 if FAST else 64\n"
+            'w = pretrain.get_dictionaries(1024, sizes=(size,))["Pretrained"][size]\n'
+            "\n"
+            "cfg = StreamConfig(\n"
+            "    sample_rate=sample_rate,\n"
+            "    hop_size=hop,\n"
+            "    block_size=hop,  # emit every hop: minimal block latency\n"
+            "    synthesis_length=synthesis_length,\n"
+            '    analysis_window="asymmetric",\n'
+            ")\n"
+            'print(f"algorithmic latency: {cfg.algorithmic_latency_s * 1e3:.2f} ms")\n'
+            "\n"
+            "proc = RTGCCNMFProcessor(w, cfg)\n"
+            "out = proc.enhance_signal(stereo, StreamParams.default())[0]\n"
+            'print("output:", out.shape)'
+        ),
+        _code(
+            "fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 4.5), sharex=True)\n"
+            'viz.plot_waveform(stereo, sample_rate, ax=ax1, title="input")\n'
+            'viz.plot_waveform(out, sample_rate, ax=ax2, title="low-latency enhanced")\n'
+            "plt.tight_layout()\n"
+            "plt.show()\n"
+            "\n"
+            'out_path = os.path.join(OUT_DIR, "lowlatency_enhanced.wav")\n'
+            "wav.write_wav(out, out_path, sample_rate)\n"
+            'print("wrote", out_path)'
+        ),
+        _md(
+            "## Notes\n"
+            "\n"
+            "- CLI equivalent: `gccnmf-stream noisy.wav --low-latency`.\n"
+            "- `enhance_signal` runs the whole file through the *same* "
+            "compiled per-block step the real-time app uses (`lax.scan` "
+            "over blocks), so offline results match streaming results "
+            "bit-for-bit — the equivalence is pinned by "
+            "`tests/test_realtime.py`.\n"
+            "- Throughput at hop 32 is 16× the default streaming "
+            "configuration's frame rate; batch streams (`serving."
+            "StreamServer`) to keep the chip busy."
+        ),
+    ]
+    return _nb(cells)
+
+
+# --------------------------------------------------------------------------
+# 5. Real-time speech enhancement (RT-GCC-NMF)
+# --------------------------------------------------------------------------
+
+def realtime():
+    cells = [
+        _md(
+            "# Real-time speech enhancement: RT-GCC-NMF\n"
+            "\n"
+            "TPU-native counterpart of the reference's "
+            "`realtimeSpeechEnhancement.ipynb` (the one notebook that "
+            "survives in the reference snapshot): a block-streaming "
+            "speech enhancer with live parameter control, per-block "
+            "deadline telemetry, and an interactive GUI.\n"
+            "\n"
+            "## Architecture: reference → TPU-native\n"
+            "\n"
+            "| Reference (3 OS processes) | Here |\n"
+            "|---|---|\n"
+            "| PyAudio process: block I/O, Event handshake with DSP "
+            "(`audioProcessor.py:118-122`) | host audio thread + lock-free "
+            "C++ SPSC ring (`gccnmf_tpu.native`) |\n"
+            "| DSP process: NumPy rfft + Theano graph per block "
+            "(`gccNMFProcessor.py:201-231`) | one jitted TPU step: window "
+            "→ rFFT → GCC → soft mask → iFFT → overlap-add state carried "
+            "on device (`models/realtime.py`) |\n"
+            "| Theano SharedVariables for slider params (no recompile, "
+            "`gccNMFProcessor.py:195-199`) | traced-scalar `StreamParams` "
+            "— changing them never recompiles |\n"
+            "| Qt GUI process + shared-memory history rings "
+            "(`gccNMFInterface.py`) | `gccnmf_tpu.gui` (tkinter + "
+            "matplotlib) reading `CircularBuffer` histories |\n"
+            "\n"
+            "The 32 ms block deadline (512 samples at 16 kHz) is the same; "
+            "the per-block device step measures in the tens of "
+            "microseconds on a v5e chip, so one chip can serve many "
+            "concurrent streams (see `serving.StreamServer`)."
+        ),
+        _code(SETUP),
+        _md(
+            "## Headless run\n"
+            "\n"
+            "`RealtimeGCCNMF` is the app shell (reference "
+            "`runRealtimeGCCNMF.py:41-190`): it loads the config, "
+            "pre-learns/loads the dictionary bank, and streams the source "
+            "file block-by-block, recording per-block wall times "
+            "(min/avg/max, like `audioProcessor.py:98-102`). "
+            "`realtime=False` processes as fast as possible; "
+            "`realtime=True` paces to the wall-clock deadline."
+        ),
+        _code(
+            "import dataclasses, json\n"
+            "\n"
+            "from gccnmf_tpu.config import load_config\n"
+            "from gccnmf_tpu.realtime.app import RealtimeGCCNMF\n"
+            "\n"
+            "cfg = load_config(audio_path=str(defs.DEFAULT_AUDIO_FILE))\n"
+            "if FAST:\n"
+            "    cfg = dataclasses.replace(cfg, dictionary_size=16)\n"
+            "app = RealtimeGCCNMF(config=cfg)\n"
+            'out_path = os.path.join(OUT_DIR, "realtime_enhanced.wav")\n'
+            "stats = app.run(\n"
+            "    output_path=out_path, num_blocks=32 if FAST else None, realtime=False\n"
+            ")\n"
+            "print(json.dumps(stats, indent=2))"
+        ),
+        _md(
+            "## Live telemetry\n"
+            "\n"
+            "The app maintains the same history rings the reference GUI "
+            "reads (GCC-PHAT waterfall, TDOA track, input/output "
+            "spectrograms, coefficient masks) — rendered here from the "
+            "headless run."
+        ),
+        _code(
+            'gcc_hist = app.histories["gcc_phat"].get_unraveled()\n'
+            'in_spec = app.histories["input_spectrogram"].get_unraveled()\n'
+            'out_spec = app.histories["output_spectrogram"].get_unraveled()\n'
+            "fig, axes = plt.subplots(1, 3, figsize=(13, 3.2))\n"
+            'axes[0].imshow(np.asarray(gcc_hist).T, origin="lower", aspect="auto", cmap="magma")\n'
+            'axes[0].set_title("GCC-PHAT history"); axes[0].set_ylabel("TDOA index")\n'
+            'axes[1].imshow(np.cbrt(np.asarray(in_spec)).T, origin="lower", aspect="auto", cmap="magma")\n'
+            'axes[1].set_title("input spectrogram")\n'
+            'axes[2].imshow(np.cbrt(np.asarray(out_spec)).T, origin="lower", aspect="auto", cmap="magma")\n'
+            'axes[2].set_title("output spectrogram")\n'
+            "plt.tight_layout()\n"
+            "plt.show()"
+        ),
+        _md(
+            "## Interactive use\n"
+            "\n"
+            "- **GUI**: `gccnmf-realtime -i mix.wav` (or "
+            "`python examples/realtime_streaming.py --gui`) opens the "
+            "interactive window: GCC-PHAT waterfall with a draggable "
+            "target-TDOA region, mask-function sliders "
+            "(center/width/shape/floor), dictionary-size selector, "
+            "play/pause (space), separation toggle (s), localization "
+            "toggle (l).\n"
+            "- **Live audio**: `LiveRingSource` accepts blocks pushed from "
+            "any capture thread through the native lock-free ring "
+            "(`gccnmf_tpu.realtime.audio`).\n"
+            "- **Many streams on one chip**: `gccnmf-serve a.wav b.wav …` "
+            "runs a lockstep batch server with per-stream parameters "
+            "(`gccnmf_tpu.serving`); the bench sustains hundreds of "
+            "concurrent real-time streams per v5e chip.\n"
+            "- **Config**: INI files with the reference's camelCase "
+            "option names load via `-c config.ini` (the reference's own "
+            "INI loader is dead code, `realtime/config.py:104-105` — "
+            "here it works and is tested)."
+        ),
+    ]
+    return _nb(cells)
+
+
+NOTEBOOKS = {
+    "offlineSpeechSeparation.ipynb": offline_separation,
+    "offlineSpeechEnhancement.ipynb": offline_enhancement,
+    "onlineSpeechEnhancement.ipynb": online_enhancement,
+    "lowLatencySpeechEnhancement.ipynb": low_latency,
+    "realtimeSpeechEnhancement.ipynb": realtime,
+}
+
+
+def main():
+    for name, builder in NOTEBOOKS.items():
+        nb = builder()
+        path = os.path.join(HERE, name)
+        nbformat.write(nb, path)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
