@@ -161,11 +161,18 @@ def stream_main(argv=None):
     ap.add_argument("--reference-delay", action="store_true",
                     help="reproduce the reference's 2-block output delay")
     ap.add_argument("--low-latency", action="store_true",
-                    help="asymmetric analysis/synthesis windows")
+                    help="asymmetric analysis/synthesis windows, emitting "
+                         "every hop (block_size = hop) — e.g. "
+                         "--synthesis-length 24 gives 1.5 ms algorithmic "
+                         "latency (reference README.md:78 claims <2 ms)")
     ap.add_argument("--synthesis-length", type=int, default=256,
                     help="synthesis-window support for --low-latency mode; "
                          "the hop is clamped to synthesis_length/2 so the "
                          "COLA condition holds")
+    ap.add_argument("--block-size", type=int, default=None,
+                    help="samples per emitted block (must be a multiple of "
+                         "the hop); defaults to the config block size, or to "
+                         "one hop in --low-latency mode")
     ap.add_argument("--realtime", action="store_true",
                     help="host-loop block-by-block with deadline telemetry")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -189,13 +196,22 @@ def stream_main(argv=None):
 
     # Low-latency mode needs hop <= synthesis_length/2 for COLA; the default
     # config's hop (window/2) is meant for the symmetric sqrt-hamming path.
+    # It also emits every hop (block_size = hop) — latency is the point of
+    # the mode, and a 512-sample block would dominate the delay budget.
     hop = cfg.hop_size
     if args.low_latency:
         hop = min(hop, args.synthesis_length // 2)
+    block = args.block_size
+    if block is None:
+        block = hop if args.low_latency else cfg.block_size
+    elif block % hop != 0:
+        ap.error("--block-size %d is not a multiple of the hop (%d)"
+                 % (block, hop))
     scfg = StreamConfig.from_app_config(
         cfg,
         sample_rate=sr,
         hop_size=hop,
+        block_size=block,
         synthesis_length=args.synthesis_length,
         extra_delay_blocks=1 if args.reference_delay else 0,
         analysis_window="asymmetric" if args.low_latency else "sqrt_hamming",
