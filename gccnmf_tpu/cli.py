@@ -190,23 +190,29 @@ def stream_main(argv=None):
     from gccnmf_tpu.utils import wav
 
     cfg = load_config(args.config, audio_path=args.input)
-    stereo, sr = wav.read_wav(args.input)
-    banks = pretrain.get_dictionaries(cfg.window_size, sizes=(cfg.dictionary_size,))
-    w = banks[cfg.dictionary_type][cfg.dictionary_size]
 
+    # Flag validation needs only the config — do it before the expensive
+    # startup work (WAV load, dictionary pretraining on a cold cache).
     # Low-latency mode needs hop <= synthesis_length/2 for COLA; the default
     # config's hop (window/2) is meant for the symmetric sqrt-hamming path.
     # It also emits every hop (block_size = hop) — latency is the point of
     # the mode, and a 512-sample block would dominate the delay budget.
     hop = cfg.hop_size
     if args.low_latency:
+        if args.synthesis_length < 2:
+            ap.error("--synthesis-length must be >= 2 (got %d)"
+                     % args.synthesis_length)
         hop = min(hop, args.synthesis_length // 2)
     block = args.block_size
     if block is None:
         block = hop if args.low_latency else cfg.block_size
-    elif block % hop != 0:
-        ap.error("--block-size %d is not a multiple of the hop (%d)"
+    elif block < 1 or block % hop != 0:
+        ap.error("--block-size %d is not a positive multiple of the hop (%d)"
                  % (block, hop))
+
+    stereo, sr = wav.read_wav(args.input)
+    banks = pretrain.get_dictionaries(cfg.window_size, sizes=(cfg.dictionary_size,))
+    w = banks[cfg.dictionary_type][cfg.dictionary_size]
     scfg = StreamConfig.from_app_config(
         cfg,
         sample_rate=sr,

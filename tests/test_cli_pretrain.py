@@ -152,6 +152,53 @@ class TestCLI:
         assert info["algorithmic_latency_ms"] == pytest.approx(1.5)
         assert info["algorithmic_latency_ms"] < 2.0
 
+    def test_stream_cli_explicit_block_size(self, wav_file, tmp_path, capsys,
+                                            monkeypatch):
+        """--block-size overrides the default: two hops per emitted block in
+        symmetric mode doubles the block term of the latency budget."""
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.stream_main(
+            ["-i", path, "-o", str(tmp_path / "bs.wav"), "-c", str(cfgp),
+             "--block-size", "1024"]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert os.path.exists(info["output"])
+        # symmetric default is 64 ms at block 512; block 1024 adds 32 ms
+        assert info["algorithmic_latency_ms"] == pytest.approx(96.0)
+
+    @pytest.mark.parametrize("argv_extra", [
+        ["--block-size", "500"],   # not a hop multiple (hop 512)
+        ["--block-size", "0"],     # 0 % hop == 0 but must still be rejected
+        ["--block-size", "-512"],  # negative multiple of the hop
+        ["--low-latency", "--synthesis-length", "1"],  # hop would clamp to 0
+    ])
+    def test_stream_cli_rejects_bad_flags(self, wav_file, tmp_path,
+                                          monkeypatch, argv_extra):
+        """Bad --block-size / --synthesis-length values exit with a clean
+        argparse usage error, before any WAV load or pretraining work."""
+        from gccnmf_tpu import cli, pretrain
+
+        path, sr = wav_file
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+
+        def _no_pretrain(*a, **k):  # validation must fire first
+            raise AssertionError("pretraining ran before flag validation")
+
+        monkeypatch.setattr(pretrain, "get_dictionaries", _no_pretrain)
+        with pytest.raises(SystemExit) as exc:
+            cli.stream_main(
+                ["-i", path, "-o", str(tmp_path / "x.wav")] + argv_extra
+            )
+        assert exc.value.code == 2  # argparse usage error
+
     def test_realtime_cli(self, wav_file, tmp_path, capsys, monkeypatch):
         from gccnmf_tpu import cli
 
