@@ -135,6 +135,14 @@ def gemm_dtype(cfg: OfflineConfig) -> str:
     return "bfloat16" if md == "bfloat16_q" else md
 
 
+def plane_dtype(cfg: OfflineConfig) -> str:
+    """Storage dtype of the fused front-end's spec/V/coherence planes.
+    bf16 in the throughput modes — the front-end is store-bandwidth-bound
+    and every hot consumer quantizes to bf16 at its GEMMs anyway — f32 in
+    float32 parity mode (exact planes for the oracle trajectory)."""
+    return "bfloat16" if gemm_dtype(cfg) == "bfloat16" else "float32"
+
+
 class GCCNMFSeparator:
     """Blind stereo source separation."""
 
@@ -179,16 +187,17 @@ class GCCNMFSeparator:
             sre, sim, vp, cre, cim, ang = stft_gcc_frontend_pallas(
                 stereo, jnp.asarray(self._window), jnp.asarray(cos_m),
                 jnp.asarray(sin_m), hop_size=cfg.hop_size, conjugate=True,
-                matmul_dtype=gemm_dtype(cfg),
+                matmul_dtype=gemm_dtype(cfg), plane_dtype=plane_dtype(cfg),
             )
             # (..., 2, T, FP) → (..., 2T, FP): left‖right concatenated
             # along time (runGCCNMF.py:40) is a free reshape in this
             # layout. The Pallas NMF consumes the lane-padded planes
-            # as-is (zero columns are inert); the XLA NMF contracts
+            # as-is (zero columns are inert, and a bf16 V plane stays
+            # bf16-resident in "bfloat16_q" mode); the XLA NMF contracts
             # against the (F, K) dictionary, so slice to valid bins.
             v = vp.reshape(*vp.shape[:-3], -1, vp.shape[-1])
             if self._nmf_backend != "pallas":
-                v = v[..., : cfg.num_freq]
+                v = v[..., : cfg.num_freq].astype(jnp.float32)
             w, h = self._run_nmf(v, w0, h0)
             return sre, sim, w, h, cre, cim, ang
         spec = stft_ops.stft(
@@ -215,11 +224,12 @@ class GCCNMFSeparator:
         padding is sliced off here."""
         f = self.config.num_freq
         sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
+        as_f32 = lambda p: p[..., :f].astype(jnp.float32)
         return (
-            jax.lax.complex(sre[..., :f], sim[..., :f]),
+            jax.lax.complex(as_f32(sre), as_f32(sim)),
             w,
             h,
-            jax.lax.complex(cre[..., :f], cim[..., :f]),
+            jax.lax.complex(as_f32(cre), as_f32(cim)),
             ang,
         )
 
@@ -297,8 +307,9 @@ class GCCNMFSeparator:
                 matmul_dtype=gemm_dtype(cfg),
             )
         f = self.config.num_freq  # drop any lane padding for the XLA tail
-        spec = jax.lax.complex(sre[..., :f], sim[..., :f])
-        coh = jax.lax.complex(cre[..., :f], cim[..., :f])
+        as_f32 = lambda p: p[..., :f].astype(jnp.float32)
+        spec = jax.lax.complex(as_f32(sre), as_f32(sim))
+        coh = jax.lax.complex(as_f32(cre), as_f32(cim))
         est, _ = jax.vmap(self._reconstruct)(spec, coh, w, h, target_indexes)
         return est
 
@@ -459,7 +470,7 @@ class GCCNMFEnhancer:
             sre, sim, _, cre, cim, ang = stft_gcc_frontend_pallas(
                 stereo, jnp.asarray(self._window), jnp.asarray(cos_m),
                 jnp.asarray(sin_m), hop_size=cfg.hop_size, conjugate=True,
-                matmul_dtype=gemm_dtype(cfg),
+                matmul_dtype=gemm_dtype(cfg), plane_dtype=plane_dtype(cfg),
             )
             spec = (sre, sim)  # planes tuple; consumers split anyway
             coh = (cre, cim)
@@ -502,9 +513,10 @@ class GCCNMFEnhancer:
             )
             return out.reshape(*batch, *out.shape[-2:]), target_idx, ang
         if isinstance(spec, tuple):  # pallas front-end + XLA tail
-            f = cfg.num_freq  # drop lane padding
-            spec = jax.lax.complex(spec[0][..., :f], spec[1][..., :f])
-            coh = jax.lax.complex(coh[0][..., :f], coh[1][..., :f])
+            f = cfg.num_freq  # drop lane padding (and any bf16 storage)
+            as_f32 = lambda p: p[..., :f].astype(jnp.float32)
+            spec = jax.lax.complex(as_f32(spec[0]), as_f32(spec[1]))
+            coh = jax.lax.complex(as_f32(coh[0]), as_f32(coh[1]))
 
         # Per-(frame, atom) argmax-TDOA. scores[t,d,k] =
         # Σ_f (Re c·cos + Im c·sin)[t,f,d] · W[f,k]: fold steering and

@@ -191,8 +191,9 @@ def soft_mask_pallas(
     )[:, None, :]  # (B, 1, 4)
 
     # One time tile when the utterance fits (the common case); otherwise
-    # tile the frame axis (masks have no cross-frame coupling).
-    t8 = -(-t // 8) * 8
+    # tile the frame axis (masks have no cross-frame coupling). ×16 keeps
+    # the tile valid for both f32 and bf16 plane storage.
+    t8 = -(-t // 16) * 16
     eff_tile = t8 if t8 <= tile_t else tile_t
     return _mask_jit(
         coh_re, coh_im, params, jnp.asarray(cw), jnp.asarray(sw),
@@ -219,8 +220,10 @@ def _mask_jit(
     bp = -(-b // batch_tile) * batch_tile
     t_pad = -(-t // tile_t) * tile_t
 
-    cre = jnp.zeros((bp, t_pad, fp), jnp.float32)
-    cim = jnp.zeros((bp, t_pad, fp), jnp.float32)
+    # keep the coherence planes' dtype through the pad copy (bf16 planes
+    # halve the HBM traffic; the kernel's GEMMs quantize to bf16 anyway)
+    cre = jnp.zeros((bp, t_pad, fp), coh_re.dtype)
+    cim = jnp.zeros((bp, t_pad, fp), coh_re.dtype)
     cre = cre.at[:b, :t, :f].set(coh_re)
     cim = cim.at[:b, :t, :f].set(coh_im)
     params = jnp.concatenate(
@@ -355,8 +358,9 @@ def _tf_synth_kernel(
     # Wiener TF mask on the tile: h_mask @ (W/colsum)ᵀ — never touches HBM
     tf = mm(hm_ref[0], wtn_ref[:])  # (tile_t, fp)
     for c in range(num_channels):
-        re_s = jnp.where(valid, tf * re_ref[0, c], 0.0)
-        im_s = jnp.where(valid, tf * im_ref[0, c], 0.0)
+        # planes may be stored bf16 (fused front-end throughput mode)
+        re_s = jnp.where(valid, tf * re_ref[0, c].astype(jnp.float32), 0.0)
+        im_s = jnp.where(valid, tf * im_ref[0, c].astype(jnp.float32), 0.0)
         # forward used conjugate=True and the ISTFT re-conjugates: imag
         # enters the inverse transform with a minus sign
         frames = mm(re_s, a_ref[:]) - mm(im_s, b_ref[:])  # (tile_t, win)

@@ -42,9 +42,10 @@ from gccnmf_tpu.ops.stft import dft_matrices, num_frames
 __all__ = ["stft_gcc_frontend_pallas"]
 
 
-def _frontend_kernel(tile_t, ratio, matmul_dtype,
+def _frontend_kernel(tile_t, ratio, matmul_dtype, plane_dtype,
                      a_ref, b_ref, wboth_ref, steer_ref,
                      sre_ref, sim_ref, v_ref, cre_ref, cim_ref, ang_ref):
+    pd = jnp.dtype(plane_dtype)
     if jnp.dtype(matmul_dtype) == jnp.float32:
 
         def mm(a, b):
@@ -97,9 +98,9 @@ def _frontend_kernel(tile_t, ratio, matmul_dtype,
         res.append(re)
         ims.append(im)
         mags.append(jnp.sqrt(re * re + im * im))
-        sre_ref[0, ch] = re
-        sim_ref[0, ch] = im
-        v_ref[0, ch] = mags[ch]
+        sre_ref[0, ch] = re.astype(pd)
+        sim_ref[0, ch] = im.astype(pd)
+        v_ref[0, ch] = mags[ch].astype(pd)
 
     # PHAT coherence X0 · conj(X1) / (|X0||X1|)
     denom = mags[0] * mags[1]
@@ -107,8 +108,8 @@ def _frontend_kernel(tile_t, ratio, matmul_dtype,
     inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0)
     cre = (res[0] * res[1] + ims[0] * ims[1]) * inv
     cim = (ims[0] * res[1] - res[0] * ims[1]) * inv
-    cre_ref[0] = cre
-    cim_ref[0] = cim
+    cre_ref[0] = cre.astype(pd)
+    cim_ref[0] = cim.astype(pd)
     # angular spectrogram: Re(C)@cos + Im(C)@sin as ONE GEMM with the
     # steering planes stacked along the contraction axis
     ang_ref[0] = mm(jnp.concatenate([cre, cim], axis=1), steer_ref[:])
@@ -117,7 +118,8 @@ def _frontend_kernel(tile_t, ratio, matmul_dtype,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "hop_size", "conjugate", "matmul_dtype", "tile_t", "interpret"
+        "hop_size", "conjugate", "matmul_dtype", "plane_dtype", "tile_t",
+        "interpret",
     ),
 )
 def stft_gcc_frontend_pallas(
@@ -129,7 +131,8 @@ def stft_gcc_frontend_pallas(
     hop_size: int,
     conjugate: bool = True,
     matmul_dtype: str = "bfloat16",
-    tile_t: int = 128,
+    plane_dtype: str = "float32",
+    tile_t: int = 256,
     interpret: bool = False,
 ):
     """Fused front-end. ``stereo``: (..., 2, n) f32; ``window``: (win,);
@@ -153,6 +156,16 @@ def stft_gcc_frontend_pallas(
     ``matmul_dtype``: "bfloat16" single-pass MXU GEMMs (throughput default,
     same posture as the other fused kernels) or "float32"
     (Precision.HIGHEST) for parity with the XLA path.
+
+    ``plane_dtype``: storage dtype of the five spec/V/coherence planes
+    ("float32" default, "bfloat16" for throughput). The kernel is
+    store-bandwidth-bound (measured: the DFT GEMM overlaps to near-zero
+    marginal cost), so halving the plane bytes is a ~1.5x kernel speedup;
+    every hot consumer quantizes these planes to bf16 at its own GEMMs
+    anyway (NMF "bfloat16_q" V residency, attribution/synthesis operand
+    casts), so bf16 storage only moves the quantization one step earlier.
+    The angular spectrogram stays f32 (it feeds peak-picking reductions
+    and is ~1/5th the bytes of one plane).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -202,7 +215,10 @@ def stft_gcc_frontend_pallas(
     dp = steer.shape[1]
     tp = n_tiles * tile_t
 
-    kernel = functools.partial(_frontend_kernel, tile_t, ratio, matmul_dtype)
+    kernel = functools.partial(
+        _frontend_kernel, tile_t, ratio, matmul_dtype, plane_dtype
+    )
+    pd = jnp.dtype(plane_dtype)
     sig_spec = lambda shift: pl.BlockSpec(
         (1, 2, tile_t, hop_size), lambda i, j: (i, 0, j + shift, 0),
         memory_space=pltpu.VMEM,
@@ -234,11 +250,11 @@ def stft_gcc_frontend_pallas(
             # F=513-wide blocks masks every store and measured ~10 ms at
             # the bench shape; padded lanes are exact zeros, which every
             # consumer treats as inert)
-            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, t, fp), jnp.float32),
-            jax.ShapeDtypeStruct((b, t, fp), jnp.float32),
-            jax.ShapeDtypeStruct((b, t, fp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, t, fp), pd),
+            jax.ShapeDtypeStruct((b, 2, t, fp), pd),
+            jax.ShapeDtypeStruct((b, 2, t, fp), pd),
+            jax.ShapeDtypeStruct((b, t, fp), pd),
+            jax.ShapeDtypeStruct((b, t, fp), pd),
             jax.ShapeDtypeStruct((b, t, d), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -246,7 +262,9 @@ def stft_gcc_frontend_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tp * (4 * win * fp + 2 * fp * dp),
-            bytes_accessed=4 * b * tp * (2 * hop_size + 5 * fp + dp),
+            bytes_accessed=b * tp * (
+                4 * 2 * hop_size + pd.itemsize * 5 * fp + 4 * dp
+            ),
             transcendentals=0,
         ),
         interpret=interpret,

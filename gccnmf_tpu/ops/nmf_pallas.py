@@ -11,7 +11,7 @@ in and once on the way out.
 
 Grid: one program per batch element (the offline pipeline vmaps over
 utterances). Shapes are padded host-side to TPU tile multiples
-(T → ×8, F → ×128, K → ×128) with ``epsilon`` magnitudes so the
+(T → ×16, F → ×128, K → ×128) with ``epsilon`` magnitudes so the
 multiplicative updates stay strictly positive (exact zeros would produce
 0/0 in the V/WH ratio); the padding columns/rows carry ~epsilon² weight
 and are sliced off on return.
@@ -203,26 +203,40 @@ def kl_nmf_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
+
     batch = v.shape[:-2]
     t, f_v = v.shape[-2:]  # V may arrive lane-padded wider than F
     f = w0.shape[-2]  # true bin count from the dictionary
     if f_v < f:
         raise ValueError("V has fewer frequency bins than W")
     k = w0.shape[-1]
-    v2 = v.reshape((-1, t, f_v)).astype(jnp.float32)
+    # A bf16 V plane (the fused front-end's throughput currency) stays
+    # bf16 in HBM and VMEM when the loop is going to quantize it anyway
+    # ("bfloat16_q" keeps V resident in bf16): half the HBM read and half
+    # the VMEM footprint, zero extra quantization. Other modes keep their
+    # f32 trajectory: upcast at the boundary.
+    keep_bf16 = (
+        v.dtype == jnp.bfloat16 and matmul_dtype == "bfloat16_q"
+    )
+    v_dt = jnp.bfloat16 if keep_bf16 else jnp.float32
+    v2 = v.reshape((-1, t, f_v)).astype(v_dt)
     w2 = w0.reshape((-1, f, k)).astype(jnp.float32)
     h2 = h0.reshape((-1, t, k)).astype(jnp.float32)
     b = v2.shape[0]
 
     # pad to TPU tile multiples with epsilon (strict positivity; V planes
     # from the fused front-end arrive pre-padded with exact zeros — zero
-    # columns are inert through the guarded updates)
-    v2, _ = pad_to_multiple(v2, 1, 8, epsilon)
+    # columns are inert through the guarded updates). T pads to x16 (the
+    # bf16 sublane tile; also a valid f32 tile) so both V dtypes share
+    # one layout.
+    v2, _ = pad_to_multiple(v2, 1, 16, epsilon)
     v2, _ = pad_to_multiple(v2, 2, 128, epsilon)
     fp = v2.shape[2]
     w2, _ = pad_to_multiple(w2, 1, fp, epsilon)  # match V's padded bins
     w2, _ = pad_to_multiple(w2, 2, 128, epsilon)
-    h2, _ = pad_to_multiple(h2, 1, 8, epsilon)
+    h2, _ = pad_to_multiple(h2, 1, 16, epsilon)  # T pad must match V's
     h2, _ = pad_to_multiple(h2, 2, 128, epsilon)
     tp = v2.shape[1]
     kp = w2.shape[2]
@@ -250,7 +264,9 @@ def kl_nmf_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * num_iterations * tp * fp * kp,
-            bytes_accessed=4 * b * (tp * fp + 2 * (fp * kp + tp * kp)),
+            bytes_accessed=b * (
+                v2.dtype.itemsize * tp * fp + 8 * (fp * kp + tp * kp)
+            ),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -87,8 +87,10 @@ def _synthesis_kernel(
     # numpy.angle(0) == 0 (masks.masked_reconstruction parity).
     phases = []
     for c in range(num_channels):
-        re = re_ref[0, c]
-        im = im_ref[0, c]
+        # planes may be stored bf16 (fused front-end throughput mode);
+        # phase math stays f32 in VMEM either way
+        re = re_ref[0, c].astype(jnp.float32)
+        im = im_ref[0, c].astype(jnp.float32)
         mag2 = re * re + im * im
         ok = mag2 > 0.0
         inv = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, mag2, 1.0)), 0.0)
@@ -155,9 +157,10 @@ def masked_synthesis_pallas(
 
     Args:
       spec: (B, C, T, F) complex64 mixture spectrogram (as produced by
-        ``stft(..., conjugate=True)``), or a ``(re, im)`` tuple of f32
-        planes (as produced by the fused Pallas front-end — avoids a
-        complex64 round trip through HBM).
+        ``stft(..., conjugate=True)``), or a ``(re, im)`` tuple of f32 or
+        bf16 planes (as produced by the fused Pallas front-end — avoids a
+        complex64 round trip through HBM; bf16 planes halve it again and
+        are upcast per-tile in VMEM).
       winner: (B, T, K) int32 — per-(frame, atom) winning target index
         (``argmax`` over the attribution scores' target axis).
       w: (B, F, K) NMF dictionary.
@@ -234,8 +237,11 @@ def _synthesis_jit(
     # full tile; padded spectrogram rows are zero → phase (1,0), padded H
     # rows are zero → zero frames.
     t_pad = -(-(t + ratio - 1) // tile_t) * tile_t
-    re = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
-    im = jnp.zeros((b, c_ch, t_pad, fp), jnp.float32)
+    # keep the spec planes' dtype through the pad copy (bf16 planes from
+    # the fused front-end halve the HBM traffic here and into the kernel,
+    # which upcasts per-tile in VMEM)
+    re = jnp.zeros((b, c_ch, t_pad, fp), spec_re.dtype)
+    im = jnp.zeros((b, c_ch, t_pad, fp), spec_re.dtype)
     re = re.at[:, :, :t, :f_in].set(spec_re)
     im = im.at[:, :, :t, :f_in].set(spec_im)
     win_pad = jnp.full((b, t_pad, k), -1, jnp.int32)

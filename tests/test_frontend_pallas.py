@@ -191,3 +191,95 @@ class TestFrontendPipelines:
         assert w_b.shape == w_a.shape and h_b.shape == h_a.shape
         np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b), atol=2e-5)
         np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=2e-5)
+
+
+class TestBf16Planes:
+    def test_bf16_planes_match_f32(self):
+        """plane_dtype='bfloat16' stores the five spec/V/coherence planes in
+        bf16 (the angular spectrogram stays f32); values match the f32
+        planes to bf16 rounding."""
+        x = _signal(b=1, t_frames=40)
+        window = win_ops.hann_symmetric(WIN)
+        cos_m, sin_m = gcc.steering_cos_sin(SR, F, 1.0, D)
+        kw = dict(hop_size=HOP, matmul_dtype="bfloat16", tile_t=32,
+                  interpret=True)
+        f32 = stft_gcc_frontend_pallas(
+            jnp.asarray(x), jnp.asarray(window), jnp.asarray(cos_m),
+            jnp.asarray(sin_m), plane_dtype="float32", **kw,
+        )
+        b16 = stft_gcc_frontend_pallas(
+            jnp.asarray(x), jnp.asarray(window), jnp.asarray(cos_m),
+            jnp.asarray(sin_m), plane_dtype="bfloat16", **kw,
+        )
+        for i in range(5):
+            assert b16[i].dtype == jnp.bfloat16
+            scale = float(jnp.max(jnp.abs(f32[i]))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(b16[i], np.float32), np.asarray(f32[i]),
+                atol=8e-3 * scale,
+            )
+        assert b16[5].dtype == jnp.float32  # angular spectrogram
+        np.testing.assert_allclose(np.asarray(b16[5]), np.asarray(f32[5]))
+
+    def test_bf16_v_stays_resident_in_nmf_bf16q(self):
+        """A bf16 V plane feeds kl_nmf_pallas without upcasting in
+        'bfloat16_q' mode and lands at the same result as f32 V (the loop
+        quantizes V to bf16 either way)."""
+        from gccnmf_tpu.ops import nmf
+        from gccnmf_tpu.ops.nmf_pallas import kl_nmf_pallas
+
+        rng = np.random.default_rng(7)
+        t, f, k = 24, 513, 8
+        v = (rng.random((t, f)) + 1e-3).astype(np.float32)
+        v16 = jnp.asarray(v, jnp.bfloat16)
+        w0, h0 = nmf.nmf_init_numpy(f, k, t)
+        w_a, h_a = kl_nmf_pallas(
+            jnp.asarray(v16.astype(jnp.float32)), jnp.asarray(w0),
+            jnp.asarray(h0), 10, matmul_dtype="bfloat16_q", interpret=True,
+        )
+        w_b, h_b = kl_nmf_pallas(
+            v16, jnp.asarray(w0), jnp.asarray(h0), 10,
+            matmul_dtype="bfloat16_q", interpret=True,
+        )
+        assert w_b.dtype == jnp.float32 and h_b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b),
+                                   rtol=2e-2, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b),
+                                   rtol=2e-2, atol=1e-5)
+
+    def test_throughput_pipeline_bf16_planes_quality(self):
+        """End-to-end separation with the default throughput config (bf16
+        planes + bf16_q NMF) stays close to the exact-plane pipeline:
+        same localization, waveforms within bf16 noise."""
+        import dataclasses
+
+        from gccnmf_tpu.models.offline import (
+            GCCNMFSeparator, OfflineConfig, plane_dtype,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 16000
+        s1, s2 = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+        stereo = np.stack([s1 + s2, np.roll(s1, 4) + np.roll(s2, -6)])
+        base = OfflineConfig(
+            num_iterations=8, dictionary_size=16, num_tdoas=32,
+            nmf_backend="pallas", synthesis_backend="pallas",
+            frontend_backend="pallas",
+        )
+        assert plane_dtype(base) == "bfloat16"
+        assert plane_dtype(
+            dataclasses.replace(base, nmf_matmul_dtype="float32")
+        ) == "float32"
+        res = GCCNMFSeparator(base).separate(stereo, num_sources=2)
+        exact = GCCNMFSeparator(
+            dataclasses.replace(base, nmf_matmul_dtype="float32")
+        ).separate(stereo, num_sources=2)
+        assert list(res["target_tdoa_indexes"]) == list(
+            exact["target_tdoa_indexes"]
+        )
+        a = np.asarray(exact["estimates"], np.float32)
+        b = np.asarray(res["estimates"], np.float32)
+        # bf16 trajectory ≠ f32 trajectory, but the waveforms must stay
+        # within a few percent RMS (the TPU bench pins ~31 dB vs oracle)
+        rms = float(np.sqrt(np.mean(a**2))) + 1e-12
+        assert float(np.sqrt(np.mean((a - b) ** 2))) / rms < 0.25
