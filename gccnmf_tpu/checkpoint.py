@@ -70,13 +70,16 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 
 def load_nmf_state(path: str, expect_meta: dict | None = None):
     """Load (w, h, iteration). Raises if ``expect_meta`` (same keys as
-    passed to :func:`save_nmf_state`) doesn't match what was saved."""
+    passed to :func:`save_nmf_state`) doesn't match what was saved.
+
+    Include ``w_shape``/``h_shape`` in ``expect_meta`` to pin the expected
+    factor shapes; keys the caller omits default to the file's own values
+    (i.e. they are not checked)."""
     data = np.load(path, allow_pickle=False)
     if expect_meta is not None:
         expect = dict(expect_meta)
-        expect.update(
-            w_shape=list(data["w"].shape), h_shape=list(data["h"].shape)
-        )
+        expect.setdefault("w_shape", list(data["w"].shape))
+        expect.setdefault("h_shape", list(data["h"].shape))
         if str(data["meta"]) != _fingerprint(expect):
             raise ValueError(
                 f"checkpoint {path} was written for a different problem: "
@@ -109,6 +112,8 @@ def kl_nmf_checkpointed(
     meta = dict(
         sparsity_alpha=sparsity_alpha,
         v_shape=list(np.asarray(v).shape),
+        w_shape=list(np.asarray(w0).shape),
+        h_shape=list(np.asarray(h0).shape),
     )
     w, h, start = w0, h0, 0
     resume = latest_checkpoint(ckpt_dir)

@@ -123,7 +123,9 @@ class OnlineGCCNMFEnhancer:
     def _enhance_jit(self, stereo: jax.Array):
         cfg = self.config
         spec = stft_ops.stft(stereo, self._window, cfg.hop_size)  # (...,2,T,F)
-        coh = gcc.coherence(spec)  # (..., T, F)
+        # guard_zeros: digital silence must not NaN-poison the causal
+        # localization smoother (bit-identical on nonzero bins)
+        coh = gcc.coherence(spec, guard_zeros=True)  # (..., T, F)
         ang = gcc.angular_spectrogram(coh, *self._cos_sin) / cfg.num_freq
         smoothed = _causal_smooth(ang, cfg)  # (..., T, D)
         target_idx = jnp.argmax(smoothed, axis=-1).astype(jnp.float32)  # (..., T)

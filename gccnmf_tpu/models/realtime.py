@@ -243,7 +243,9 @@ class RTGCCNMFProcessor:
             frames * self._analysis_window, n=cfg.window_size, axis=-1
         ).astype(jnp.complex64)  # (B, C, m, F)
 
-        coh = gcc.coherence(spec)  # (B, m, F)
+        # guard_zeros: an all-zero block (idle serving slot, digital
+        # silence) must not write NaN into the localization history
+        coh = gcc.coherence(spec, guard_zeros=True)  # (B, m, F)
         # attribution over all TDOAs: (B, m, D, K) via flat GEMM
         flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST()) + jnp.matmul(
             jnp.imag(coh), self._sin_w, precision=_HIGHEST()

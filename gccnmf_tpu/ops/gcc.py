@@ -75,7 +75,9 @@ def steering_matrix(
     return (cos_m - 1j * sin_m).astype(np.complex64)
 
 
-def coherence(spec: jax.Array, eps: float = 0.0) -> jax.Array:
+def coherence(
+    spec: jax.Array, eps: float = 0.0, guard_zeros: bool = False
+) -> jax.Array:
     """PHAT-weighted cross-spectral coherence.
 
     ``spec``: ``(..., 2, T, F)`` complex stereo spectrogram →
@@ -83,6 +85,11 @@ def coherence(spec: jax.Array, eps: float = 0.0) -> jax.Array:
     (reference: runGCCNMF.py:44, realtime gccNMFProcessor.py:253).
     ``eps > 0`` regularizes the magnitude product (the reference divides
     unprotected, producing NaNs at exact zeros; pass 0 for bit-parity).
+    ``guard_zeros`` maps exact-zero bins to 0 coherence instead of NaN —
+    bit-identical on nonzero bins — for streaming paths where an
+    all-zero block (an idle serving slot, digital silence in a WAV)
+    would otherwise write a NaN row into the GCC-PHAT localization
+    history and poison the windowed mean for the whole history length.
     """
     x0 = spec[..., 0, :, :]
     x1 = spec[..., 1, :, :]
@@ -90,6 +97,9 @@ def coherence(spec: jax.Array, eps: float = 0.0) -> jax.Array:
     denom = jnp.abs(x0) * jnp.abs(x1)
     if eps:
         denom = denom + eps
+    if guard_zeros:
+        ok = denom > 0.0
+        return jnp.where(ok, cross / jnp.where(ok, denom, 1.0), 0.0)
     return cross / denom
 
 

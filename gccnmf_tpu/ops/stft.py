@@ -49,6 +49,7 @@ __all__ = [
     "frame_signal",
     "stft",
     "istft",
+    "inverse_frames",
     "overlap_add",
     "dft_matrices",
     "idft_matrices",
@@ -239,17 +240,26 @@ def istft(
             half = fft_size // 2
             y = y[..., half:-half]
         return y
-    if method == "fft":
-        frames = jnp.fft.irfft(spec, n=fft_size, axis=-1).astype(jnp.float32)
-    elif method == "matmul":
-        a, b = idft_matrices(fft_size)
-        frames = jnp.matmul(jnp.real(spec), a, precision=_HIGHEST()) + jnp.matmul(
-            jnp.imag(spec), b, precision=_HIGHEST()
-        )
-    else:
-        raise ValueError(f"unknown istft method: {method}")
-    y = overlap_add(frames * window, hop_size)
+    y = overlap_add(inverse_frames(spec, fft_size, method) * window, hop_size)
     if center_trim:
         half = fft_size // 2
         y = y[..., half:-half]
     return y
+
+
+def inverse_frames(
+    spec: jax.Array, fft_size: int, method: str = "fft"
+) -> jax.Array:
+    """Per-frame inverse rDFT: ``(..., T, F)`` complex → ``(..., T,
+    fft_size)`` float32 frames (no window, no overlap-add). The shared
+    spectrum→frames step of :func:`istft` and the sequence-parallel
+    seam-exchange OLA (parallel/long_audio.py), kept in one place so the
+    two paths cannot drift."""
+    if method == "fft":
+        return jnp.fft.irfft(spec, n=fft_size, axis=-1).astype(jnp.float32)
+    if method == "matmul":
+        a, b = idft_matrices(fft_size)
+        return jnp.matmul(jnp.real(spec), a, precision=_HIGHEST()) + jnp.matmul(
+            jnp.imag(spec), b, precision=_HIGHEST()
+        )
+    raise ValueError(f"unknown istft method: {method}")

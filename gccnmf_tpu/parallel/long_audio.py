@@ -116,15 +116,12 @@ class LongAudioSeparator:
             )
             coef = masks.hard_coefficient_masks(scores)  # (N, T_s, K)
             spec_est = masks.masked_reconstruction(coef, spec0, w_l, h0)
-            # local inverse transform (mirrors ops.stft.istft's frame path)
-            sp = jnp.conj(spec_est)
-            if self._stft_method == "matmul":
-                a, b = stft_ops.idft_matrices(win_len)
-                frames = jnp.matmul(
-                    jnp.real(sp), a, precision=stft_ops._HIGHEST()
-                ) + jnp.matmul(jnp.imag(sp), b, precision=stft_ops._HIGHEST())
-            else:
-                frames = jnp.fft.irfft(sp, n=win_len, axis=-1).astype(jnp.float32)
+            # local inverse transform — istft's own spectrum→frames step
+            # (the OLA differs: seams are settled by ppermute, not locally)
+            frames = stft_ops.inverse_frames(
+                jnp.conj(spec_est), win_len,
+                "matmul" if self._stft_method == "matmul" else "fft",
+            )
             y = stft_ops.overlap_add(frames * window, hop)  # (N, 2, L_out)
             t_s = spec0.shape[-2]
             own_len = t_s * hop
@@ -154,7 +151,9 @@ class LongAudioSeparator:
         """
         cfg = self.config
         s = self.num_shards
-        num_sources = num_sources or cfg.num_sources or 3
+        # mirror GCCNMFSeparator.separate: None defers to the config, and a
+        # config of None means auto source counting (2-means on peaks)
+        num_sources = cfg.num_sources if num_sources is None else num_sources
         window, hop = cfg.window_size, cfg.hop_size
 
         t_total = stft_ops.num_frames(stereo.shape[-1], window, hop)
@@ -208,8 +207,9 @@ class LongAudioSeparator:
             spec, coh, h_sharded, w, targets_dev
         )
 
-        owned_np = np.asarray(owned)  # (S, N, 2, T_s*hop)
-        tails_np = np.asarray(tails)
+        # cross-host-sharded outputs need a DCN allgather, not np.asarray
+        owned_np = mesh_lib.gather_to_host(owned)  # (S, N, 2, T_s*hop)
+        tails_np = mesh_lib.gather_to_host(tails)
         full = np.concatenate(
             [owned_np[i] for i in range(s)], axis=-1
         )  # (N, 2, T*hop)

@@ -33,7 +33,26 @@ __all__ = [
     "P",
     "NamedSharding",
     "shard_batch",
+    "gather_to_host",
 ]
+
+
+def gather_to_host(x) -> "np.ndarray":
+    """Materialize a (possibly cross-host-sharded) ``jax.Array`` on every
+    host as NumPy.
+
+    ``np.asarray`` raises on arrays with non-addressable shards (anything
+    sharded over a mesh axis that spans processes); this assembles the
+    global value with a DCN ``process_allgather`` instead. Single-process
+    it is exactly ``np.asarray``.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def init_distributed(

@@ -70,9 +70,16 @@ class DistributedNMFTrainer:
             jax.device_put(h_p, NamedSharding(mesh, P("data", None))),
         )
 
+    _gather = staticmethod(mesh_lib.gather_to_host)
+
     def fit(self, train_v: np.ndarray) -> np.ndarray:
         """Train W (F, K) on a (T, F) magnitude corpus; resumes from the
-        latest checkpoint in ``checkpoint_dir`` if one matches."""
+        latest checkpoint in ``checkpoint_dir`` if one matches.
+
+        Multi-host: every process must call ``fit`` with the same corpus;
+        checkpoints are written by process 0 only, so ``checkpoint_dir``
+        must be on a shared filesystem for resume to see them.
+        """
         from gccnmf_tpu.ops import nmf as nmf_ops
 
         t, f = train_v.shape
@@ -85,7 +92,10 @@ class DistributedNMFTrainer:
         # problem fingerprint only — the iteration target may grow on resume
         meta = dict(
             sparsity_alpha=self.sparsity_alpha,
+            epsilon=self.epsilon,
             v_shape=list(train_v.shape),
+            w_shape=list(w_host.shape),  # pins dictionary_size on resume
+            h_shape=list(np.asarray(h_p).shape),
             mesh=[int(self.mesh.shape["data"]), int(self.mesh.shape["model"])],
             seed=self.seed_value,
         )
@@ -107,8 +117,9 @@ class DistributedNMFTrainer:
             it += chunk
             if self.checkpoint_dir:
                 # gather to host for the checkpoint; resharded on resume
-                ckpt.save_nmf_state(
-                    self.checkpoint_dir, np.asarray(w_sh), np.asarray(h_sh),
-                    it, meta=meta,
-                )
-        return np.asarray(w_sh)
+                w_np, h_np = self._gather(w_sh), self._gather(h_sh)
+                if jax.process_index() == 0:
+                    ckpt.save_nmf_state(
+                        self.checkpoint_dir, w_np, h_np, it, meta=meta
+                    )
+        return self._gather(w_sh)

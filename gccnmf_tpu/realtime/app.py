@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 from dataclasses import replace as dc_replace
 
 import numpy as np
@@ -87,13 +88,19 @@ class RealtimeGCCNMF:
 
         hist = cfg.num_tdoa_history
         spec_hist = cfg.num_spectrogram_history
-        self.histories = {
+        self._histories = {
             "gcc_phat": CircularBuffer(cfg.num_tdoas, hist),
             "tdoa": CircularBuffer((), hist),
             "input_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
             "output_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
             "coefficient_mask": CircularBuffer(cfg.dictionary_size, spec_hist),
         }
+        # telemetry stays device-side until someone reads `histories`
+        # (the GUI's 100 ms timer, a notebook cell): the deadline-critical
+        # block loop never pays device→host fetches for plots nobody is
+        # watching. Bounded so an undrained headless run holds O(32) blocks
+        # of small device arrays, not the whole session.
+        self._pending_telemetry: deque = deque(maxlen=32)
 
     # ----------------------------------------------------------- dictionary
 
@@ -167,9 +174,10 @@ class RealtimeGCCNMF:
         if size is not None:
             self.dictionary_size = size
             self.config = dc_replace(self.config, dictionary_size=size)
-            self.histories["coefficient_mask"] = CircularBuffer(
+            self._histories["coefficient_mask"] = CircularBuffer(
                 size, self.config.num_spectrogram_history
             )
+            self._pending_telemetry.clear()  # old-size masks are stale
         if type is not None:
             self.dictionary_type = type
         self._processor = None  # lazy rebuild on next block
@@ -177,19 +185,30 @@ class RealtimeGCCNMF:
 
     # ------------------------------------------------------------------ run
 
+    @property
+    def histories(self) -> dict:
+        """Telemetry ring buffers; reading drains pending device telemetry
+        (the fetch happens here, on the reader's clock, not per block)."""
+        self.drain_telemetry()
+        return self._histories
+
+    def drain_telemetry(self) -> None:
+        """Materialize queued device telemetry into the host histories."""
+        while self._pending_telemetry:
+            self._update_histories(self._pending_telemetry.popleft())
+
     def _update_histories(self, telemetry: dict) -> None:
-        self.histories["gcc_phat"].set(np.asarray(telemetry["gcc_phat"][0]))
-        self.histories["tdoa"].set(
+        h = self._histories
+        h["gcc_phat"].set(np.asarray(telemetry["gcc_phat"][0]))
+        h["tdoa"].set(
             np.repeat(
                 np.asarray(telemetry["target_tdoa_index"][0]),
                 telemetry["gcc_phat"].shape[1],
             )
         )
-        self.histories["input_spectrogram"].set(np.asarray(telemetry["input_mag"][0]))
-        self.histories["output_spectrogram"].set(np.asarray(telemetry["output_mag"][0]))
-        self.histories["coefficient_mask"].set(
-            np.asarray(telemetry["coefficient_mask"][0])
-        )
+        h["input_spectrogram"].set(np.asarray(telemetry["input_mag"][0]))
+        h["output_spectrogram"].set(np.asarray(telemetry["output_mag"][0]))
+        h["coefficient_mask"].set(np.asarray(telemetry["coefficient_mask"][0]))
 
     def _log_block_times(self) -> None:
         now = time.perf_counter()
@@ -221,7 +240,8 @@ class RealtimeGCCNMF:
         )
         out_np = np.asarray(out[0])
         self._block_times.record(time.perf_counter() - t0)
-        self._update_histories({k: np.asarray(v) for k, v in telemetry.items()})
+        # device arrays queued as-is — no host fetch on the deadline path
+        self._pending_telemetry.append(telemetry)
         self._log_block_times()
         return out_np
 

@@ -45,6 +45,12 @@ class FilePlayerSource:
         realtime: bool = False,
     ):
         self.samples, self.sample_rate = wavio.read_wav(path)  # (C, n)
+        if self.samples.shape[-1] < block_size:
+            # looping such a file would yield undersized blocks forever
+            raise ValueError(
+                f"{path}: {self.samples.shape[-1]} samples is shorter than "
+                f"one {block_size}-sample block"
+            )
         self.block_size = block_size
         self.loop = loop
         self.realtime = realtime
@@ -124,6 +130,14 @@ class LiveRingSource:
         makes the writable() check safe — only this thread ever writes).
         """
         flat = np.ascontiguousarray(block, np.float32).ravel()
+        if flat.size != self._samples_per_block:
+            # a wrong-shaped write would permanently desync the consumer's
+            # fixed-size reads (mixed halves of adjacent pushes, swapped
+            # channel planes) — reject it before it reaches the ring
+            raise ValueError(
+                f"push_planar expects ({self.num_channels}, "
+                f"{self.block_size}), got shape {np.shape(block)}"
+            )
         if self._ring.writable() < flat.size:
             self.overruns += 1
             return False

@@ -110,11 +110,17 @@ class StreamServer:
         self._params_cache = None
 
     def update_stream(self, stream_id: int, **changes) -> None:
-        """Adjust a live stream's settings (no recompile — traced params)."""
+        """Adjust a live stream's settings (no recompile — traced params).
+        All-or-nothing: keys are validated before any is applied, so a typo
+        can never leave the recorded settings half-updated (and desynced
+        from the cached device params)."""
         s = self._settings[self._ids[stream_id]]
+        unknown = [k for k in changes if not hasattr(s, k)]
+        if unknown:
+            raise AttributeError(
+                f"unknown stream setting(s): {', '.join(sorted(unknown))}"
+            )
         for key, value in changes.items():
-            if not hasattr(s, key):
-                raise AttributeError(f"unknown stream setting: {key}")
             setattr(s, key, value)
         self._params_cache = None
 

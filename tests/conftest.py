@@ -24,13 +24,19 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator per test.
+
+    Function-scoped on purpose: a shared stateful generator makes every
+    consumer's data depend on which tests ran before it (a session-scoped
+    version made the realtime parity SNR swing ±4 dB with test selection).
+    """
     return np.random.default_rng(1234)
 
 
 @pytest.fixture(scope="session")
-def stereo_signal(rng):
+def stereo_signal():
     """Synthetic 2-second stereo mixture at 16 kHz: two delayed speech-like
     sources plus noise, so GCC-PHAT has real structure."""
     sr = 16000
@@ -45,10 +51,11 @@ def stereo_signal(rng):
 
     s1, s2 = source(180, 1), source(260, 2)
     d1, d2 = 6, -9  # integer sample delays between mics
-    left = s1 + s2 + 0.01 * rng.standard_normal(n).astype(np.float32)
+    g = np.random.default_rng(1234)  # own stream: order-independent data
+    left = s1 + s2 + 0.01 * g.standard_normal(n).astype(np.float32)
     right = (
         np.roll(s1, d1) + np.roll(s2, d2)
-        + 0.01 * rng.standard_normal(n).astype(np.float32)
+        + 0.01 * g.standard_normal(n).astype(np.float32)
     )
     mix = np.stack([left, right]).astype(np.float32)
     mix /= np.max(np.abs(mix)) * 1.1

@@ -6,6 +6,8 @@ targets, same dictionary (up to psum reduction-order drift), waveforms
 matching to high SNR across the ppermute-stitched shard seams.
 """
 
+from dataclasses import replace
+
 import numpy as np
 import pytest
 
@@ -95,6 +97,24 @@ class TestLongAudioSeparator:
     def test_too_short_raises(self, cfg):
         with pytest.raises(ValueError):
             LongAudioSeparator(cfg).separate(_two_source_mix(8), num_sources=2)
+
+    def test_num_sources_defers_like_single_device(self, cfg):
+        """num_sources=None must mirror GCCNMFSeparator.separate: defer to
+        the config (and let config None mean auto counting), never coerce
+        to a hardcoded 3."""
+        stereo = _two_source_mix(8 * 24)
+        result = LongAudioSeparator(cfg).separate(stereo)  # cfg says 2
+        assert result["estimates"].shape[0] == 2
+        auto_cfg = replace(cfg, num_sources=None)
+        auto = LongAudioSeparator(auto_cfg).separate(stereo)
+        want = GCCNMFSeparator(auto_cfg).separate(stereo)
+        assert (
+            auto["estimates"].shape[0]
+            == np.asarray(want["estimates"]).shape[0]
+        )
+        assert list(auto["target_tdoa_indexes"]) == list(
+            want["target_tdoa_indexes"]
+        )
 
     def test_separate_file_roundtrip(self, cfg, tmp_path):
         from gccnmf_tpu.utils import wav as wavio

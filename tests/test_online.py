@@ -10,8 +10,9 @@ from gccnmf_tpu.models.offline import stft_gain
 
 
 @pytest.fixture(scope="module")
-def dictionary(rng):
-    return rng.random((513, 48)).astype(np.float32) + 1e-3
+def dictionary():
+    g = np.random.default_rng(1234)
+    return g.random((513, 48)).astype(np.float32) + 1e-3
 
 
 class TestCausalSmoothing:

@@ -12,9 +12,10 @@ from gccnmf_tpu.parallel import nmf_sharded
 
 
 @pytest.fixture(scope="module")
-def problem(rng):
+def problem():
+    g = np.random.default_rng(1234)
     t, f, k = 192, 129, 32
-    v = (rng.random((t, f)) + 0.05).astype(np.float32)
+    v = (g.random((t, f)) + 0.05).astype(np.float32)
     w0, h0 = nmf.nmf_init_numpy(f, k, t)
     return v, w0, h0
 
@@ -140,6 +141,28 @@ class TestDistributedTrainer:
             checkpoint_every=8, checkpoint_dir=ck2,
         ).fit(v)
         np.testing.assert_allclose(w_resumed, w_straight, rtol=1e-5)
+
+    def test_resume_rejects_changed_dictionary_size(self, tmp_path):
+        """The fingerprint must pin dictionary_size: resuming a 4-atom
+        checkpoint with an 8-atom trainer has to fail loudly, not silently
+        return the smaller W."""
+        import jax
+        from gccnmf_tpu.parallel import mesh as mesh_lib
+        from gccnmf_tpu.parallel.trainer import DistributedNMFTrainer
+
+        rng = np.random.default_rng(8)
+        v = (rng.random((32, 17)) + 0.05).astype(np.float32)
+        mesh = mesh_lib.make_mesh(data=2, model=1, devices=jax.devices()[:2])
+        ck = str(tmp_path / "ck")
+        DistributedNMFTrainer(
+            mesh, dictionary_size=4, num_iterations=4,
+            checkpoint_every=4, checkpoint_dir=ck,
+        ).fit(v)
+        with pytest.raises(ValueError, match="different problem"):
+            DistributedNMFTrainer(
+                mesh, dictionary_size=8, num_iterations=8,
+                checkpoint_every=4, checkpoint_dir=ck,
+            ).fit(v)
 
 
 def test_init_distributed_single_process_noop():

@@ -16,8 +16,9 @@ import oracle
 
 
 @pytest.fixture(scope="module")
-def dictionary(rng):
-    return (rng.random((513, 64)).astype(np.float32) + 1e-3)
+def dictionary():
+    g = np.random.default_rng(1234)
+    return (g.random((513, 64)).astype(np.float32) + 1e-3)
 
 
 @pytest.fixture(scope="module")

@@ -87,6 +87,30 @@ class TestAudio:
         out, sr = wavio.read_wav(path)
         assert out.shape == (2, 1024) and sr == 16000
 
+    def test_file_player_rejects_sub_block_file(self, tmp_path):
+        """A file shorter than one block would loop as undersized blocks
+        forever; it must be rejected up front."""
+        from gccnmf_tpu.realtime.audio import FilePlayerSource
+        from gccnmf_tpu.utils import wav as wavio
+
+        path = str(tmp_path / "short.wav")
+        wavio.write_wav(np.zeros((2, 300), np.float32), path, 16000)
+        with pytest.raises(ValueError, match="shorter than"):
+            FilePlayerSource(path, block_size=512, loop=True)
+
+    def test_live_ring_rejects_wrong_shape_push(self):
+        """A wrong-shaped push would permanently desync the consumer's
+        fixed-size channel framing."""
+        from gccnmf_tpu.realtime.audio import LiveRingSource
+
+        src = LiveRingSource(num_channels=2, block_size=512)
+        with pytest.raises(ValueError, match="push_planar expects"):
+            src.push_planar(np.zeros(512, np.float32))  # mono
+        with pytest.raises(ValueError, match="push_planar expects"):
+            src.push_planar(np.zeros((2, 256), np.float32))  # half block
+        assert src.push_planar(np.zeros((2, 512), np.float32))
+        assert src.overruns == 0
+
 
 class TestRealtimeApp:
     @pytest.fixture()

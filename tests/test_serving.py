@@ -144,3 +144,38 @@ def test_missing_block_is_silence(w, cfg):
     assert set(out) == {a}
     out = srv.process({a: blocks[2], b: blocks[2]})
     assert np.isfinite(out[b]).all()
+
+
+def test_update_stream_all_or_nothing(w, cfg):
+    """A typo'd key must not half-apply the earlier keys (that desyncs the
+    recorded settings from the cached device params)."""
+    srv = StreamServer(w, cfg, max_streams=1)
+    sid = srv.open_stream(StreamSettings(target_epsilon=5.0))
+    with pytest.raises(AttributeError, match="bogus"):
+        srv.update_stream(sid, target_epsilon=2.0, bogus=3.0)
+    slot = srv._ids[sid]
+    assert srv._settings[slot].target_epsilon == 5.0  # unchanged
+
+
+def test_silent_ticks_do_not_poison_localization(w, cfg):
+    """All-zero blocks (idle slots, digital silence) must not write NaN
+    GCC-PHAT into the localization history ring: one NaN row would make
+    the windowed mean (NaN·0 = NaN) snap the localized target to index 0
+    for the whole history length. The streaming step guards exact zeros
+    (bit-identical coherence on nonzero bins)."""
+    srv = StreamServer(w, cfg, max_streams=2)
+    a = srv.open_stream(StreamSettings(localization_enabled=True))
+    rng = np.random.default_rng(9)
+    sig = (
+        rng.standard_normal((6, cfg.num_channels, cfg.block_size)) * 0.1
+    ).astype(np.float32)
+    srv.process({a: sig[0]})
+    for _ in range(3):  # a skips ticks -> its slot gets exact-zero blocks
+        srv.process({})
+    srv.process({a: np.zeros_like(sig[0])})  # explicit digital silence
+    for i in range(1, 6):
+        out = srv.process({a: sig[i]})
+    assert np.isfinite(out[a]).all()
+    # the poisoning is invisible through argmax (argmax of NaN is a finite
+    # 0) — assert the history state itself stayed NaN-free
+    assert np.isfinite(np.asarray(srv._state.gcc_history)).all()
