@@ -170,10 +170,10 @@ def bench_dp_scaling(args, virtual=False):
         h0b = mesh_lib.shard_batch(
             np.broadcast_to(h0, (b,) + h0.shape).copy(), mesh
         )
-        est, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
+        est, _, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
         est.block_until_ready()
         t0 = time.perf_counter()
-        est, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
+        est, _, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
         est.block_until_ready()
         dt = time.perf_counter() - t0
         thr = n * per_dev_batch * args.seconds / dt

@@ -100,10 +100,16 @@ _OPTION_MAP = {
 _FIELD_TYPES = {f.name: f.type for f in fields(GCCNMFConfig)}
 
 
-def _coerce(name: str, raw: str) -> Any:
+def _coerce(name: str, raw: str | None) -> Any:
     t = _FIELD_TYPES[name]
-    raw = raw.strip()
+    # allow_no_value=True hands bare options through as None; treat them
+    # like an explicit empty value
+    raw = "" if raw is None else raw.strip()
     if raw.lower() in ("none", ""):
+        if "None" not in t:
+            raise ValueError(
+                f"config option {name!r} ({t}) cannot be empty/none"
+            )
         return None
     if t == "bool":
         return raw.lower() in ("1", "true", "yes", "on")

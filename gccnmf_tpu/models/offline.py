@@ -20,6 +20,7 @@ scaling.
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass, replace
 from os.path import basename
 
@@ -30,6 +31,8 @@ import numpy as np
 from gccnmf_tpu.ops import gcc, localize, masks, nmf, stft as stft_ops, xprec
 from gccnmf_tpu.ops import windows as win_ops
 from gccnmf_tpu.utils import wav
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["OfflineConfig", "GCCNMFSeparator", "GCCNMFEnhancer", "stft_gain"]
 
@@ -276,16 +279,21 @@ class GCCNMFSeparator:
         directly — neither one-hot masks nor the complex per-target
         spectrogram estimates are ever materialized.
         """
-        return self._reconstruct_batched_planes(
+        return self._reconstruct_batched_winner(
             jnp.real(spec), jnp.imag(spec), jnp.real(coh), jnp.imag(coh),
             w, h, target_indexes,
-        )
+        )[0]
 
-    def _reconstruct_batched_planes(
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reconstruct_batched_winner(
         self, sre, sim, cre, cim, w, h, target_indexes
-    ) -> jax.Array:
+    ):
         """Plane-input reconstruction tail (the fused front-end's native
-        currency); same semantics as :meth:`_reconstruct_batched`."""
+        currency). Returns ``(estimates, winner)`` — ``winner`` is the
+        (B, T, K) per-(frame, atom) winning-target index on the Pallas
+        path (None on the XLA tail, which derives masks internally), so
+        callers wanting coefficient masks don't recompute the attribution.
+        """
         cfg = self.config
         t = sre.shape[-2]
         h_stereo = jnp.stack([h[..., :t, :], h[..., t:, :]], axis=-3)
@@ -295,7 +303,7 @@ class GCCNMFSeparator:
             winner = masks.attribution_winner_planes(
                 cre, cim, *self._cos_sin, target_indexes, w
             )
-            return masked_synthesis_pallas(
+            est = masked_synthesis_pallas(
                 (sre, sim),
                 winner,
                 w,
@@ -306,23 +314,20 @@ class GCCNMFSeparator:
                 gain=stft_gain(cfg),
                 matmul_dtype=gemm_dtype(cfg),
             )
+            return est, winner
         f = self.config.num_freq  # drop any lane padding for the XLA tail
         as_f32 = lambda p: p[..., :f].astype(jnp.float32)
         spec = jax.lax.complex(as_f32(sre), as_f32(sim))
         coh = jax.lax.complex(as_f32(cre), as_f32(cim))
         est, _ = jax.vmap(self._reconstruct)(spec, coh, w, h, target_indexes)
-        return est
+        return est, None
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _coef_masks_jit(self, coh, target_indexes, w):
-        """(N, T, K) one-hot coefficient masks for the user-facing result
-        dict (equivalent to hard_coefficient_masks ∘ target_attribution)."""
-        winner = masks.attribution_winner(
-            coh[None], *self._cos_sin, target_indexes[None], w[None]
+    def _reconstruct_batched_planes(
+        self, sre, sim, cre, cim, w, h, target_indexes
+    ) -> jax.Array:
+        return self._reconstruct_batched_winner(
+            sre, sim, cre, cim, w, h, target_indexes
         )[0]
-        return jax.nn.one_hot(
-            winner, target_indexes.shape[-1], axis=0, dtype=jnp.float32
-        )
 
     # ---- public API -------------------------------------------------------
 
@@ -343,10 +348,17 @@ class GCCNMFSeparator:
         targets = localize.estimate_target_tdoa_indexes(mean_ang, num_sources)
         targets_arr = jnp.asarray(np.asarray(targets, np.int32))
         if self._synthesis_backend == "pallas":
-            estimates = self._reconstruct_batched(
-                spec[None], coh[None], w[None], h[None], targets_arr[None]
-            )[0]
-            coef_masks = self._coef_masks_jit(coh, targets_arr, w)
+            estimates, winner = self._reconstruct_batched_winner(
+                jnp.real(spec)[None], jnp.imag(spec)[None],
+                jnp.real(coh)[None], jnp.imag(coh)[None],
+                w[None], h[None], targets_arr[None],
+            )
+            estimates = estimates[0]
+            # one-hot the winner the reconstruction already derived rather
+            # than recomputing the full attribution GEMM
+            coef_masks = jax.nn.one_hot(
+                winner[0], targets_arr.shape[-1], axis=0, dtype=jnp.float32
+            )
         else:
             estimates, coef_masks = self._reconstruct(
                 spec, coh, w, h, targets_arr
@@ -399,29 +411,45 @@ class GCCNMFSeparator:
         # over the batch), so no vmap — the whole path runs on f32 planes
         # with no complex64 intermediates
         sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
+        mean_ang = jax.vmap(gcc.mean_angular_spectrum)(ang)
         targets = jax.vmap(
-            lambda a: localize.top_k_peaks(
-                gcc.mean_angular_spectrum(a), num_sources
-            )
-        )(ang)
+            lambda a: localize.top_k_peaks(a, num_sources)
+        )(mean_ang)
+        peaks = localize.peak_count(mean_ang)  # (B,)
         est = self._reconstruct_batched_planes(
             sre, sim, cre, cim, w, h, targets
         )
-        return est, targets
+        return est, targets, peaks
 
     def separate_batch(self, stereo_batch: np.ndarray, num_sources: int | None = None):
         """Fully on-device separation of a batch ``(B, 2, n)`` (vmapped,
-        device peak-picking with fixed source count)."""
+        device peak-picking with fixed source count — auto source counting
+        is host-side only, use :meth:`separate`). Utterances with fewer
+        angular-spectrum peaks than ``num_sources`` get duplicated targets
+        (the host path raises instead) and are reported with a warning."""
         cfg = self.config
-        num_sources = num_sources or cfg.num_sources or 3
+        num_sources = cfg.num_sources if num_sources is None else num_sources
+        if not num_sources:
+            raise ValueError(
+                "separate_batch needs a fixed num_sources (auto source "
+                "counting is data-dependent; use separate() per utterance)"
+            )
         b = stereo_batch.shape[0]
         t = stft_ops.num_frames(stereo_batch.shape[-1], cfg.window_size, cfg.hop_size)
         w0, h0 = nmf.nmf_init_numpy(cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon)
         w0 = jnp.broadcast_to(jnp.asarray(w0), (b,) + w0.shape)
         h0 = jnp.broadcast_to(jnp.asarray(h0), (b,) + h0.shape)
-        est, targets = self._separate_batch_jit(
+        est, targets, peaks = self._separate_batch_jit(
             jnp.asarray(stereo_batch), w0, h0, num_sources
         )
+        short = np.flatnonzero(np.asarray(peaks) < num_sources)
+        if short.size:
+            logger.warning(
+                "separate_batch: %d utterance(s) (e.g. index %d) had fewer "
+                "than %d angular-spectrum peaks; their missing targets "
+                "duplicate the dominant peak",
+                short.size, int(short[0]), num_sources,
+            )
         return np.asarray(est), np.asarray(targets)
 
 
@@ -518,20 +546,14 @@ class GCCNMFEnhancer:
             spec = jax.lax.complex(as_f32(spec[0]), as_f32(spec[1]))
             coh = jax.lax.complex(as_f32(coh[0]), as_f32(coh[1]))
 
-        # Per-(frame, atom) argmax-TDOA. scores[t,d,k] =
-        # Σ_f (Re c·cos + Im c·sin)[t,f,d] · W[f,k]: fold steering and
-        # dictionary into (F, D·K) operands so the contraction is two flat
-        # MXU GEMMs of shape (T,F)x(F,D·K); the folded operands depend only
-        # on compile-time constants and are hoisted by XLA.
-        cos_m, sin_m = self._cos_sin
-        d, k = cos_m.shape[1], self.w.shape[1]
-        cos_w = (cos_m[:, :, None] * self.w[:, None, :]).reshape(cos_m.shape[0], d * k)
-        sin_w = (sin_m[:, :, None] * self.w[:, None, :]).reshape(sin_m.shape[0], d * k)
-        flat = jnp.matmul(
-            jnp.real(coh), cos_w, precision=xprec.get()
-        ) + jnp.matmul(jnp.imag(coh), sin_w, precision=xprec.get())
-        scores = flat.reshape(*coh.shape[:-1], d, k)  # (..., T, D, K)
-        argmax_d = jnp.argmax(scores, axis=-2)  # (..., T, K)
+        # Per-(frame, atom) argmax-TDOA via the shared fold + flat-GEMM
+        # helpers (masks.py): the folded operands depend only on
+        # compile-time constants and are hoisted by XLA.
+        cos_w, sin_w = masks.fold_steering_dictionary(*self._cos_sin, self.w)
+        argmax_d = masks.argmax_tdoa(
+            jnp.real(coh), jnp.imag(coh), cos_w, sin_w,
+            self.config.num_tdoas,
+        )  # (..., T, K)
         h_mask = masks.soft_tdoa_coefficient_mask(
             argmax_d,
             target_idx.astype(jnp.float32)[..., None, None],

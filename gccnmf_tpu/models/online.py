@@ -109,14 +109,8 @@ class OnlineGCCNMFEnhancer:
         self._cos_sin = gcc.steering_cos_sin(
             float(cfg.sample_rate), cfg.num_freq, cfg.mic_separation_m, cfg.num_tdoas
         )
-        cos_m, sin_m = self._cos_sin
-        d, k = cfg.num_tdoas, self.w.shape[1]
-        wnp = np.asarray(self.w)
-        self._cos_w = jnp.asarray(
-            (cos_m[:, :, None] * wnp[:, None, :]).reshape(-1, d * k)
-        )
-        self._sin_w = jnp.asarray(
-            (sin_m[:, :, None] * wnp[:, None, :]).reshape(-1, d * k)
+        self._cos_w, self._sin_w = masks.fold_steering_dictionary(
+            *self._cos_sin, self.w
         )
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -130,12 +124,10 @@ class OnlineGCCNMFEnhancer:
         smoothed = _causal_smooth(ang, cfg)  # (..., T, D)
         target_idx = jnp.argmax(smoothed, axis=-1).astype(jnp.float32)  # (..., T)
 
-        d, k = cfg.num_tdoas, self.w.shape[1]
-        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST()) + jnp.matmul(
-            jnp.imag(coh), self._sin_w, precision=_HIGHEST()
-        )
-        scores = flat.reshape(*coh.shape[:-1], d, k)  # (..., T, D, K)
-        argmax_d = jnp.argmax(scores, axis=-2)  # (..., T, K)
+        argmax_d = masks.argmax_tdoa(
+            jnp.real(coh), jnp.imag(coh), self._cos_w, self._sin_w,
+            cfg.num_tdoas,
+        )  # (..., T, K)
         h_mask = masks.soft_tdoa_coefficient_mask(
             argmax_d,
             target_idx[..., None],
@@ -146,7 +138,7 @@ class OnlineGCCNMFEnhancer:
 
         if cfg.num_h_updates > 0:
             v = jnp.mean(jnp.abs(spec), axis=-3)  # (..., T, F) channel-avg mags
-            h0 = jnp.ones(v.shape[:-1] + (k,), jnp.float32)
+            h0 = jnp.ones(v.shape[:-1] + (self.w.shape[1],), jnp.float32)
             h = nmf.h_infer(v, self.w, h0, cfg.num_h_updates, epsilon=cfg.epsilon)
             num = jnp.einsum("...tk,fk->...tf", h * h_mask, self.w, precision=_HIGHEST())
             den = jnp.einsum("...tk,fk->...tf", h, self.w, precision=_HIGHEST())

@@ -200,14 +200,8 @@ class RTGCCNMFProcessor:
             float(cfg.sample_rate), cfg.num_freq, cfg.mic_separation_m, cfg.num_tdoas
         )
         # Fold steering ⊗ dictionary for the flat attribution GEMM.
-        cos_m, sin_m = self._cos_sin
-        k = self.w.shape[1]
-        d = cfg.num_tdoas
-        self._cos_w = jnp.asarray(
-            (cos_m[:, :, None] * np.asarray(self.w)[:, None, :]).reshape(-1, d * k)
-        )
-        self._sin_w = jnp.asarray(
-            (sin_m[:, :, None] * np.asarray(self.w)[:, None, :]).reshape(-1, d * k)
+        self._cos_w, self._sin_w = masks.fold_steering_dictionary(
+            *self._cos_sin, self.w
         )
         self._w_colsum = jnp.sum(self.w, axis=-1)  # (F,)
 
@@ -246,13 +240,11 @@ class RTGCCNMFProcessor:
         # guard_zeros: an all-zero block (idle serving slot, digital
         # silence) must not write NaN into the localization history
         coh = gcc.coherence(spec, guard_zeros=True)  # (B, m, F)
-        # attribution over all TDOAs: (B, m, D, K) via flat GEMM
-        flat = jnp.matmul(jnp.real(coh), self._cos_w, precision=_HIGHEST()) + jnp.matmul(
-            jnp.imag(coh), self._sin_w, precision=_HIGHEST()
-        )
-        d, k = cfg.num_tdoas, self.w.shape[1]
-        scores = flat.reshape(*coh.shape[:-1], d, k)
-        argmax_d = jnp.argmax(scores, axis=-2)  # (B, m, K)
+        # attribution over all TDOAs via the shared flat GEMM + argmax
+        argmax_d = masks.argmax_tdoa(
+            jnp.real(coh), jnp.imag(coh), self._cos_w, self._sin_w,
+            cfg.num_tdoas,
+        )  # (B, m, K)
 
         target = state.target_idx[:, None, None]  # mask uses pre-update target
         if cfg.target_mode == TARGET_MODE_BOXCAR:

@@ -135,12 +135,12 @@ def pcm16_to_float(pcm: np.ndarray) -> np.ndarray:
 
 
 def float_to_pcm16(x: np.ndarray) -> np.ndarray:
-    """float32 → int16 PCM, hard-clipped to [-1, 1], round-half-away."""
+    """float32 → int16 PCM, the reference convention (wavfile.py float2pcm,
+    same as utils.wav.float_to_pcm): scale by 2^15, clip, truncate."""
     x = _as_c(x, np.float32)
     lib = _load()
     if lib is None:
-        y = np.clip(x, -1.0, 1.0) * 32767.0
-        return np.round(y).astype(np.int16)
+        return (x * 32768.0).clip(-32768, 32767).astype(np.int16)
     out = np.empty(x.shape, np.int16)
     lib.gccnmf_float_to_pcm16(
         x.ctypes.data_as(_f32p), out.ctypes.data_as(_i16p), x.size
@@ -169,8 +169,7 @@ def interleave_pcm16(x: np.ndarray) -> np.ndarray:
     channels, frames = x.shape
     lib = _load()
     if lib is None:
-        y = np.clip(x, -1.0, 1.0) * 32767.0
-        return np.round(y).T.ravel().astype(np.int16)
+        return (x * 32768.0).clip(-32768, 32767).T.ravel().astype(np.int16)
     out = np.empty(frames * channels, np.int16)
     lib.gccnmf_interleave_pcm16(
         x.ctypes.data_as(_f32p), out.ctypes.data_as(_i16p), frames, channels
@@ -194,11 +193,19 @@ class SpscRing:
 
     def __init__(self, capacity: int):
         self._lib = _load()
-        self.capacity = int(capacity)
+        # Both backends expose the SAME usable capacity: the native ring
+        # rounds its slot count to a power of two (usable = slots - 1), so
+        # mirror that here and report the actual value — backpressure
+        # thresholds must not depend on whether a C++ toolchain was found.
+        slots = 1
+        while slots < int(capacity) + 1:
+            slots <<= 1
+        self.capacity = slots - 1
         if self._lib is not None:
-            self._h = self._lib.gccnmf_ring_create(self.capacity)
+            self._h = self._lib.gccnmf_ring_create(int(capacity))
             if not self._h:  # pragma: no cover - allocation failure
                 raise MemoryError("gccnmf_ring_create failed")
+            assert int(self._lib.gccnmf_ring_capacity(self._h)) == self.capacity
         else:
             self._buf = np.zeros(self.capacity + 1, np.float32)
             self._head = 0

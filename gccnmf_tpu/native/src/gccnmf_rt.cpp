@@ -43,6 +43,25 @@ inline float clip1(float x) {
     return x;
 }
 
+// float -> int16 with the reference convention (wavfile.py float2pcm, the
+// same one utils/wav.float_to_pcm implements): scale by 2^15, clip to the
+// int16 range, truncate toward zero. Keeping one convention host-wide makes
+// pcm16_to_float(float_to_pcm16(x)) the documented round trip.
+inline int16_t f32_to_i16(float x) {
+    float v = x * 32768.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    return static_cast<int16_t>(v);
+}
+
+// float -> int32, same convention at 2^31.
+inline int32_t f32_to_i32(float x) {
+    double v = static_cast<double>(x) * 2147483648.0;
+    if (v > 2147483647.0) v = 2147483647.0;
+    if (v < -2147483648.0) v = -2147483648.0;
+    return static_cast<int32_t>(v);
+}
+
 }  // namespace
 
 // --------------------------------------------------------------------------
@@ -57,10 +76,7 @@ GCCNMF_EXPORT void gccnmf_pcm16_to_float(const int16_t* in, float* out,
 
 GCCNMF_EXPORT void gccnmf_float_to_pcm16(const float* in, int16_t* out,
                                          int64_t n) {
-    for (int64_t i = 0; i < n; ++i) {
-        float v = clip1(in[i]) * 32767.0f;
-        out[i] = static_cast<int16_t>(v >= 0.0f ? v + 0.5f : v - 0.5f);
-    }
+    for (int64_t i = 0; i < n; ++i) out[i] = f32_to_i16(in[i]);
 }
 
 GCCNMF_EXPORT void gccnmf_pcm32_to_float(const int32_t* in, float* out,
@@ -72,11 +88,7 @@ GCCNMF_EXPORT void gccnmf_pcm32_to_float(const int32_t* in, float* out,
 
 GCCNMF_EXPORT void gccnmf_float_to_pcm32(const float* in, int32_t* out,
                                          int64_t n) {
-    const double scale = 2147483647.0;
-    for (int64_t i = 0; i < n; ++i) {
-        double v = static_cast<double>(clip1(in[i])) * scale;
-        out[i] = static_cast<int32_t>(v >= 0.0 ? v + 0.5 : v - 0.5);
-    }
+    for (int64_t i = 0; i < n; ++i) out[i] = f32_to_i32(in[i]);
 }
 
 // Interleaved stereo PCM16 -> planar float (C, n) and back: the layout hop
@@ -98,10 +110,8 @@ GCCNMF_EXPORT void gccnmf_interleave_pcm16(const float* in, int16_t* out,
     for (int32_t c = 0; c < channels; ++c) {
         const float* src = in + static_cast<int64_t>(c) * frames;
         int16_t* dst = out + c;
-        for (int64_t i = 0; i < frames; ++i) {
-            float v = clip1(src[i]) * 32767.0f;
-            dst[i * channels] = static_cast<int16_t>(v >= 0.0f ? v + 0.5f : v - 0.5f);
-        }
+        for (int64_t i = 0; i < frames; ++i)
+            dst[i * channels] = f32_to_i16(src[i]);
     }
 }
 

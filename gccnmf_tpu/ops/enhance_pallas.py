@@ -437,7 +437,14 @@ def tf_synthesis_pallas(
     w_np = np.asarray(w, np.float32)
     wtn = np.zeros((k, fp), np.float32)
     wtn[:, :f] = (w_np / np.sum(w_np, axis=-1, keepdims=True)).T
-    sel = np.zeros((ratio, tile_t + 8, tile_t), np.float32)
+    if ratio - 1 > tile_t:
+        raise ValueError(
+            f"window/hop overlap {ratio} exceeds the {tile_t}-frame tile"
+        )
+    # selection rows must reach tile_t + ratio - 2 (the OLA carry rows),
+    # padded to the 8-row sublane tile
+    look = -(-(ratio - 1) // 8) * 8
+    sel = np.zeros((ratio, tile_t + look, tile_t), np.float32)
     idx = np.arange(tile_t)
     for kk in range(ratio):
         sel[kk, idx + kk, idx] = 1.0
@@ -480,7 +487,7 @@ def _tf_synthesis_jit(
             pl.BlockSpec((k, fp), lambda bi, i: (0, 0)),
             pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
             pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
-            pl.BlockSpec((ratio, tile_t + 8, tile_t), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec(sel.shape, lambda bi, i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, c_ch, tile_t * hop_size), lambda bi, i: (bi, 0, i)

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "local_maxima_mask",
     "top_k_peaks",
+    "peak_count",
     "estimate_target_tdoa_indexes",
     "sliding_argmax_tdoa",
 ]
@@ -40,12 +41,21 @@ def local_maxima_mask(a: jax.Array) -> jax.Array:
 def top_k_peaks(a: jax.Array, k: int) -> jax.Array:
     """Indexes of the ``k`` highest local maxima, sorted ascending (i.e.
     left-to-right in TDOA, like the reference's sorted() at
-    gccNMFFunctions.py:113). Non-peaks are masked to -inf; if fewer than
-    ``k`` peaks exist, the missing slots hold non-peak argmax fill —
-    callers needing validation should check ``local_maxima_mask`` counts."""
+    gccNMFFunctions.py:113). If fewer than ``k`` peaks exist, the missing
+    slots repeat the global argmax (a deterministic duplicate target —
+    its estimate duplicates too) rather than whatever indexes top_k uses
+    as -inf fill; use :func:`peak_count` to detect the shortfall (the
+    host path raises instead, ops/localize.estimate_target_tdoa_indexes)."""
     heights = jnp.where(local_maxima_mask(a), a, -jnp.inf)
-    _, idx = jax.lax.top_k(heights, k)
+    vals, idx = jax.lax.top_k(heights, k)
+    best = jnp.argmax(a, axis=-1).astype(idx.dtype)[..., None]
+    idx = jnp.where(jnp.isneginf(vals), best, idx)
     return jnp.sort(idx, axis=-1)
+
+
+def peak_count(a: jax.Array) -> jax.Array:
+    """Number of interior local maxima along the last axis (int32)."""
+    return jnp.sum(local_maxima_mask(a), axis=-1).astype(jnp.int32)
 
 
 def _two_means_1d(values: np.ndarray, num_iterations: int = 50):

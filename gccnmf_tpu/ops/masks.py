@@ -24,6 +24,8 @@ __all__ = [
     "target_attribution",
     "attribution_winner",
     "attribution_winner_planes",
+    "fold_steering_dictionary",
+    "argmax_tdoa",
     "hard_coefficient_masks",
     "masked_reconstruction",
     "soft_tdoa_coefficient_mask",
@@ -119,6 +121,48 @@ def attribution_winner_planes(
     scores = flat.reshape(*coh_re.shape[:-1], n, k)  # (B, T, N, K)
     safe = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     return jnp.argmax(safe, axis=-2).astype(jnp.int32)  # (B, T, K)
+
+
+def fold_steering_dictionary(cos_m, sin_m, w) -> tuple[jax.Array, jax.Array]:
+    """Fold steering ⊗ dictionary into flat ``(F, D·K)`` GEMM operands.
+
+    The per-(frame, atom, TDOA) attribution score
+    ``s[t,d,k] = Σ_f (Re c·cos_d + Im c·sin_d)[t,f] · W[f,k]`` becomes two
+    flat MXU GEMMs against these operands — the shared scoring step of the
+    streaming, online, and offline-enhancement paths. Compile-time
+    constants when cos/sin/W are; XLA hoists the fold.
+    """
+    cos_m = jnp.asarray(cos_m, jnp.float32)
+    sin_m = jnp.asarray(sin_m, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    f, d = cos_m.shape
+    k = w.shape[-1]
+    cos_w = (cos_m[:, :, None] * w[:, None, :]).reshape(f, d * k)
+    sin_w = (sin_m[:, :, None] * w[:, None, :]).reshape(f, d * k)
+    return cos_w, sin_w
+
+
+def argmax_tdoa(
+    coh_re: jax.Array,
+    coh_im: jax.Array,
+    cos_w: jax.Array,
+    sin_w: jax.Array,
+    num_tdoas: int,
+) -> jax.Array:
+    """Per-(frame, atom) argmax-TDOA from folded operands.
+
+    ``coh_re/coh_im``: (..., T, F) coherence planes (f32 or bf16);
+    ``cos_w/sin_w``: (F, D·K) from :func:`fold_steering_dictionary`.
+    Returns (..., T, K) int32. NaN scores are masked to -inf before the
+    argmax (matching :func:`attribution_winner_planes` — an unguarded
+    argmax over NaN silently returns TDOA 0).
+    """
+    flat = jnp.matmul(coh_re, cos_w, precision=_HIGHEST()) + jnp.matmul(
+        coh_im, sin_w, precision=_HIGHEST()
+    )
+    scores = flat.reshape(*coh_re.shape[:-1], num_tdoas, -1)
+    safe = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    return jnp.argmax(safe, axis=-2).astype(jnp.int32)
 
 
 def hard_coefficient_masks(scores: jax.Array) -> jax.Array:

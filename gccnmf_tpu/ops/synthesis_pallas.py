@@ -204,7 +204,14 @@ def masked_synthesis_pallas(
     a_np[:f] = a_m * window[None, :] * gain
     b_np[:f] = b_m * window[None, :] * gain
     ratio = win_len // hop_size
-    sel = np.zeros((ratio, tile_t + 8, tile_t), np.float32)
+    if ratio - 1 > tile_t:
+        raise ValueError(
+            f"window/hop overlap {ratio} exceeds the {tile_t}-frame tile"
+        )
+    # selection rows must reach tile_t + ratio - 2 (the OLA carry rows),
+    # padded to the 8-row sublane tile
+    look = -(-(ratio - 1) // 8) * 8
+    sel = np.zeros((ratio, tile_t + look, tile_t), np.float32)
     idx = np.arange(tile_t)
     for k in range(ratio):
         sel[k, idx + k, idx] = 1.0
@@ -267,7 +274,7 @@ def _synthesis_jit(
             pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
             pl.BlockSpec((fp, win_len), lambda bi, i: (0, 0)),
             pl.BlockSpec(
-                (ratio, tile_t + 8, tile_t), lambda bi, i: (0, 0, 0)
+                sel.shape, lambda bi, i: (0, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -43,9 +43,11 @@ NUM_PRETRAIN_ITERATIONS = 100
 
 
 def _corpus_fingerprint(v: np.ndarray) -> str:
+    # hash ALL sampled rows (a truncated digest let corpora differing only
+    # in later content collide to the same cache key)
     h = hashlib.sha1()
     h.update(str(v.shape).encode())
-    h.update(np.ascontiguousarray(v[:: max(1, len(v) // 64)]).tobytes()[:65536])
+    h.update(np.ascontiguousarray(v[:: max(1, len(v) // 64)]).tobytes())
     return h.hexdigest()[:12]
 
 
@@ -99,8 +101,15 @@ def pretrain_dictionary(
         cache_dir or os.environ.get("GCCNMF_TPU_CACHE_DIR") or defs.PRETRAINED_W_DIR
     )
     tag = _corpus_fingerprint(train_v)
+    # every input that shapes the result is in the key — the reference's
+    # size-only key silently served stale dictionaries
+    # (gccNMFPretraining.py:68-87); omitting iterations/seed had the same
+    # staleness class (a quick 3-iteration test run poisoning later
+    # 100-iteration callers)
     cache_path = join(
-        cache_dir, f"W_{dictionary_size}_win{window_size}_{tag}.npy"
+        cache_dir,
+        f"W_{dictionary_size}_win{window_size}_it{num_iterations}"
+        f"_s{seed_value}_{tag}.npy",
     )
     if exists(cache_path):
         logger.info("pretrain: loading cached W from %s", cache_path)

@@ -33,10 +33,22 @@ def test_pcm16_roundtrip_matches_numpy():
     assert np.abs(back.astype(np.int32) - pcm.astype(np.int32)).max() <= 1
 
 
-def test_float_to_pcm16_clips():
-    x = np.array([-2.0, -1.0, 0.0, 1.0, 2.0], np.float32)
+def test_float_to_pcm16_matches_wav_convention():
+    """The native path and utils.wav must share ONE float->pcm convention
+    (the reference's wavfile.py float2pcm: x*2^15, clip, truncate)."""
+    from gccnmf_tpu.utils import wav as wavio
+
+    x = np.array([-2.0, -1.0, -0.5, 0.0, 0.25, 1.0, 2.0], np.float32)
     out = native.float_to_pcm16(x)
-    np.testing.assert_array_equal(out, [-32767, -32767, 0, 32767, 32767])
+    np.testing.assert_array_equal(
+        out, [-32768, -32768, -16384, 0, 8192, 32767, 32767]
+    )
+    np.testing.assert_array_equal(out, wavio.float_to_pcm(x, "int16"))
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-1.2, 1.2, 4096).astype(np.float32)
+    np.testing.assert_array_equal(
+        native.float_to_pcm16(y), wavio.float_to_pcm(y, "int16")
+    )
 
 
 def test_interleave_roundtrip():
