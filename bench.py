@@ -324,7 +324,7 @@ def main():
     device_ms, p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
-        quality_db = None
+        quality_db = parity_db = None
     else:
         numpy_throughput, ref = bench_offline_numpy(stereo, sr, args.quick)
         try:

@@ -365,20 +365,22 @@ def main():
     w0 = jnp.broadcast_to(jnp.asarray(w0), (args.batch, f, k))
     h0 = jnp.broadcast_to(jnp.asarray(h0), (args.batch, t, k))
 
-    def fence(out):
-        # block_until_ready returns early through the axon tunnel; a
-        # 1-element fetch cannot complete before the program does.
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(leaf.ravel()[:1])
+    # reuse bench.py's fence + async-queued timing (fencing INSIDE the loop
+    # pays the ~30 ms tunnel round trip per repeat, understating every
+    # variant and skewing the speedup ratios)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
 
     def timed(fn):
         out = fn()
-        fence(out)
-        t0 = time.perf_counter()
-        for _ in range(args.repeats):
-            out = fn()
-            fence(out)
-        return (time.perf_counter() - t0) / args.repeats, out
+        bench._fence(out)
+        return bench._timed_loop(fn, args.repeats), out
 
     dt0, (w_a, h_a) = timed(lambda: kl_nmf_pallas(v, w0, h0, args.iters))
     print(json.dumps(dict(variant="shipped(jnp.dot+T)", ms=round(dt0 * 1e3, 2))))

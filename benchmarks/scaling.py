@@ -40,6 +40,16 @@ def _parse_args():
     return ap.parse_args()
 
 
+def _fence(out):
+    """Force completion with a 1-element host fetch — block_until_ready
+    alone returns early through the axon TPU tunnel (see bench.py _fence),
+    which would time only the dispatch."""
+    leaf = out
+    while getattr(leaf, "ndim", 0) > 1:
+        leaf = leaf[0]
+    np.asarray(leaf[:1])
+
+
 def _audio(seconds, sr=16000):
     rng = np.random.default_rng(0)
     n = seconds * sr
@@ -89,10 +99,10 @@ def bench_stream_sweep(args):
         blocks = jnp.asarray(proc.blocks_from_signal(batch))
         state = proc.init_state(s)
         _, outs = proc.scan_blocks(state, blocks, params)
-        outs.block_until_ready()
+        _fence(outs)
         t0 = time.perf_counter()
         _, outs = proc.scan_blocks(state, blocks, params)
-        outs.block_until_ready()
+        _fence(outs)
         dt = time.perf_counter() - t0
         nb = blocks.shape[0]
         print(json.dumps(dict(
@@ -171,10 +181,10 @@ def bench_dp_scaling(args, virtual=False):
             np.broadcast_to(h0, (b,) + h0.shape).copy(), mesh
         )
         est, _, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
-        est.block_until_ready()
+        _fence(est)
         t0 = time.perf_counter()
         est, _, _ = sep._separate_batch_jit(sharded, w0b, h0b, 3)
-        est.block_until_ready()
+        _fence(est)
         dt = time.perf_counter() - t0
         thr = n * per_dev_batch * args.seconds / dt
         if base is None:

@@ -52,8 +52,12 @@ def save_nmf_state(
     with open(tmp, "wb") as f:
         np.savez(f, w=w, h=h, iteration=iteration, meta=_fingerprint(meta))
     os.replace(tmp, path)  # atomic publish: no torn checkpoints on crash
-    with open(join(ckpt_dir, "latest"), "w") as f:
+    # the pointer gets the same treatment — a truncating write killed
+    # mid-flight would leave an empty pointer and crash-loop every resume
+    pointer_tmp = join(ckpt_dir, "latest.tmp")
+    with open(pointer_tmp, "w") as f:
         f.write(os.path.basename(path))
+    os.replace(pointer_tmp, join(ckpt_dir, "latest"))
     logger.info("saved NMF checkpoint %s", path)
     return path
 
@@ -64,8 +68,10 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
         return None
     with open(pointer) as f:
         name = f.read().strip()
+    if not name:  # tolerate a corrupt/empty pointer from an old crash
+        return None
     path = join(ckpt_dir, name)
-    return path if exists(path) else None
+    return path if os.path.isfile(path) else None
 
 
 def load_nmf_state(path: str, expect_meta: dict | None = None):

@@ -46,7 +46,7 @@ def separate_main(argv=None):
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.utils import wav
 
-    _, sr = wav.read_wav(args.input)
+    stereo, sr = wav.read_wav(args.input)
     cfg = OfflineConfig(
         window_size=args.window_size,
         hop_size=args.hop_size,
@@ -71,7 +71,9 @@ def separate_main(argv=None):
         separator = LongAudioSeparator(cfg, mesh)
     else:
         separator = GCCNMFSeparator(cfg)
-    result = separator.separate_file(args.input, args.output_prefix)
+    result = separator.separate_file(
+        args.input, args.output_prefix, audio=(stereo, sr)
+    )
     print(
         json.dumps(
             dict(
@@ -237,6 +239,10 @@ def stream_main(argv=None):
         import jax.numpy as jnp
 
         blocks = proc.blocks_from_signal(stereo)
+        if blocks.shape[0] == 0:
+            ap.error(
+                "input is shorter than one %d-sample block" % scfg.block_size
+            )
         state = proc.init_state(1)
         outs, times = [], []
         for i in range(blocks.shape[0]):
@@ -297,7 +303,7 @@ def realtime_main(argv=None):
     if args.gui:
         from gccnmf_tpu.gui import run_gui
 
-        run_gui(args.input, args.config, loop=args.loop or True)
+        run_gui(args.input, args.config, loop=args.loop)
         return 0
     if args.loop and args.blocks is None:
         ap.error("--loop requires --blocks (otherwise the run never ends)")
@@ -351,7 +357,7 @@ def serve_main(argv=None):
     dict_size = args.dictionary_size or cfg.dictionary_size
     scfg = StreamConfig.from_app_config(cfg)
     w = pretrain.get_dictionaries(scfg.window_size, sizes=(dict_size,))[
-        "Pretrained"
+        cfg.dictionary_type
     ][dict_size]
     server = StreamServer(w, scfg, max_streams=args.max_streams or len(args.inputs))
 

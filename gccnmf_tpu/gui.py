@@ -160,7 +160,9 @@ class RealtimeGCCNMFWindow:
             self.app.process_block(block)
 
     def toggle_play(self):
-        if self._worker is None:
+        # a dead worker (file ended with loop=False, or the pump died)
+        # must be restartable, not a permanently stuck "Pause" button
+        if self._worker is None or not self._worker.is_alive():
             self._worker = threading.Thread(target=self._pump, daemon=True)
             self._playing.set()
             self._worker.start()

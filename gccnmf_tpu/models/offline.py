@@ -372,10 +372,17 @@ class GCCNMFSeparator:
             coefficient_masks=np.asarray(coef_masks),
         )
 
-    def separate_file(self, mixture_path: str, output_prefix: str | None = None):
+    def separate_file(
+        self,
+        mixture_path: str,
+        output_prefix: str | None = None,
+        audio: tuple[np.ndarray, int] | None = None,
+    ):
         """Separate ``<prefix>_mix.wav`` → ``<prefix>_sim_<n>.wav`` files
-        (naming per reference gccNMFFunctions.py:43-45)."""
-        stereo, sr = wav.read_wav(mixture_path)
+        (naming per reference gccNMFFunctions.py:43-45). Pass ``audio`` as
+        ``(stereo, sample_rate)`` to skip re-reading an already-loaded
+        file."""
+        stereo, sr = audio if audio is not None else wav.read_wav(mixture_path)
         sep = self
         if sr != self.config.sample_rate:
             # jit caches are keyed on the (immutable) separator instance, so

@@ -224,8 +224,13 @@ class LongAudioSeparator:
             frames_processed=t,
         )
 
-    def separate_file(self, mixture_path: str, output_prefix: str | None = None):
-        stereo, sr = wav.read_wav(mixture_path)
+    def separate_file(
+        self,
+        mixture_path: str,
+        output_prefix: str | None = None,
+        audio: tuple[np.ndarray, int] | None = None,
+    ):
+        stereo, sr = audio if audio is not None else wav.read_wav(mixture_path)
         sep = self
         if sr != self.config.sample_rate:
             sep = LongAudioSeparator(

@@ -28,6 +28,7 @@ benchmarks. Visualization helpers live in :mod:`gccnmf_tpu.viz`.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from collections import deque
 from dataclasses import replace as dc_replace
@@ -81,6 +82,10 @@ class RealtimeGCCNMF:
         )
         self._processor: RTGCCNMFProcessor | None = None
         self._state = None
+        # serializes structural engine swaps (set_dictionary, called from a
+        # GUI thread) against the audio thread's process_block — without it
+        # the pump can observe _processor/_state mid-rebuild (None)
+        self._engine_lock = threading.Lock()
         # per-block wall-time telemetry in the native tier (lock-free window
         # ring; reference logs the same min/avg/max, audioProcessor.py:98-102)
         self._block_times = native.BlockTimes(capacity=256)
@@ -171,17 +176,18 @@ class RealtimeGCCNMF:
     def set_dictionary(self, size: int | None = None, type: str | None = None) -> None:
         """Slow path: structural change → rebuild engine + reset state
         (reference gccNMFProcessor.py:127-157)."""
-        if size is not None:
-            self.dictionary_size = size
-            self.config = dc_replace(self.config, dictionary_size=size)
-            self._histories["coefficient_mask"] = CircularBuffer(
-                size, self.config.num_spectrogram_history
-            )
-            self._pending_telemetry.clear()  # old-size masks are stale
-        if type is not None:
-            self.dictionary_type = type
-        self._processor = None  # lazy rebuild on next block
-        self._state = None
+        with self._engine_lock:
+            if size is not None:
+                self.dictionary_size = size
+                self.config = dc_replace(self.config, dictionary_size=size)
+                self._histories["coefficient_mask"] = CircularBuffer(
+                    size, self.config.num_spectrogram_history
+                )
+                self._pending_telemetry.clear()  # old-size masks are stale
+            if type is not None:
+                self.dictionary_type = type
+            self._processor = None  # lazy rebuild on next block
+            self._state = None
 
     # ------------------------------------------------------------------ run
 
@@ -230,14 +236,19 @@ class RealtimeGCCNMF:
         return self._block_times.stats()
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
-        """Process one (C, block_size) block through the engine."""
+        """Process one (C, block_size) block through the engine.
+
+        Thread-safe against :meth:`set_dictionary` (the GUI's structural
+        slow path); the uncontended lock cost is nanoseconds next to the
+        device step."""
         import jax.numpy as jnp
 
-        proc = self.processor
-        t0 = time.perf_counter()
-        self._state, out, telemetry = proc.step(
-            self._state, jnp.asarray(block[None]), self.params
-        )
+        with self._engine_lock:
+            proc = self.processor
+            t0 = time.perf_counter()
+            self._state, out, telemetry = proc.step(
+                self._state, jnp.asarray(block[None]), self.params
+            )
         out_np = np.asarray(out[0])
         self._block_times.record(time.perf_counter() - t0)
         # device arrays queued as-is — no host fetch on the deadline path
