@@ -22,7 +22,10 @@ import itertools
 
 import numpy as np
 
-__all__ = ["snr", "si_sdr", "sdr", "permutation_invariant", "stoi"]
+__all__ = [
+    "snr", "si_sdr", "sdr", "permutation_invariant", "stoi",
+    "bss_eval_sources",
+]
 
 
 def _flatten_channels(x: np.ndarray) -> np.ndarray:
@@ -77,6 +80,136 @@ def permutation_invariant(
         if score > best:
             best, best_perm = score, perm
     return best, best_perm
+
+
+# ---------------------------------------------------------------------------
+# BSS-Eval — Vincent, Gribonval & Févotte 2006 (the SiSEC standard)
+# ---------------------------------------------------------------------------
+#
+# The SDR/SIR/SAR numbers in the reference's papers (and every SiSEC
+# campaign the bundled dev WAVs come from) are BSS-Eval figures: the
+# allowed distortion is a 512-tap time-invariant filter, and the error is
+# decomposed into interference (explained by the OTHER sources' delayed
+# spans) and artifacts (explained by nothing). The scalar-projection
+# ``sdr`` above is a different, stricter quantity.
+
+
+def _proj(sources_f: np.ndarray, est_f: np.ndarray, n_out: int, flen: int):
+    """Least-squares projection of an estimate onto the span of delayed
+    sources.
+
+    ``sources_f``: (K, n_fft) rFFTs of the zero-padded candidate sources;
+    ``est_f``: (n_fft,) rFFT of the zero-padded estimate. Returns the
+    projected time signal of length ``n_out`` (= n + flen - 1). The normal
+    equations use correlation Toeplitz blocks computed by FFT — the same
+    formulation as the original BSS_EVAL toolbox / mir_eval.
+    """
+    from scipy.linalg import solve, toeplitz
+    from scipy.signal import fftconvolve
+
+    k = sources_f.shape[0]
+    n_fft = 2 * (sources_f.shape[1] - 1)
+    # source-source correlations → block-Toeplitz Gram matrix
+    g = np.zeros((k * flen, k * flen))
+    for i in range(k):
+        for j in range(i, k):
+            ssf = np.fft.irfft(sources_f[i] * np.conj(sources_f[j]), n=n_fft)
+            blk = toeplitz(
+                np.hstack((ssf[0], ssf[-1 : -flen : -1])), r=ssf[:flen]
+            )
+            g[i * flen : (i + 1) * flen, j * flen : (j + 1) * flen] = blk
+            if i != j:
+                g[j * flen : (j + 1) * flen, i * flen : (i + 1) * flen] = blk.T
+    # source-estimate correlations → right-hand side
+    d = np.zeros(k * flen)
+    for i in range(k):
+        sef = np.fft.irfft(sources_f[i] * np.conj(est_f), n=n_fft)
+        d[i * flen : (i + 1) * flen] = np.hstack(
+            (sef[0], sef[-1 : -flen : -1])
+        )
+    try:
+        c = solve(g, d, assume_a="pos").reshape(k, flen)
+    except np.linalg.LinAlgError:
+        c, *_ = np.linalg.lstsq(g, d, rcond=None)
+        c = c.reshape(k, flen)
+    out = np.zeros(n_out)
+    srcs_t = np.fft.irfft(sources_f, n=n_fft, axis=-1)
+    for i in range(k):
+        out += fftconvolve(c[i], srcs_t[i])[:n_out]
+    return out
+
+
+def bss_eval_sources(
+    reference_sources: np.ndarray,
+    estimated_sources: np.ndarray,
+    filter_length: int = 512,
+    compute_permutation: bool = True,
+):
+    """BSS-Eval SDR/SIR/SAR with 512-tap allowed distortion filters.
+
+    ``reference_sources`` / ``estimated_sources``: (num_sources, n) (or
+    (num_sources, channels, n) — channels are concatenated) float
+    waveforms. Returns ``(sdr, sir, sar, perm)`` arrays of length
+    num_sources, where ``perm[j]`` is the reference assigned to estimate
+    ``j`` (best mean-SIR permutation, the BSS_EVAL toolbox convention;
+    identity when ``compute_permutation=False``).
+
+    Definition (Vincent et al. 2006, eqs. 2-12): for estimate ``ŝ`` and
+    target ``s_i``, ``s_target`` is the projection of ``ŝ`` onto the span
+    of 512 delayed copies of ``s_i``; ``P_all`` the projection onto the
+    span of ALL sources' delays; ``e_interf = P_all − s_target``;
+    ``e_artif = ŝ − P_all``; SDR/SIR/SAR are the corresponding energy
+    ratios in dB.
+    """
+    refs = np.asarray(reference_sources, np.float64)
+    ests = np.asarray(estimated_sources, np.float64)
+    if refs.ndim > 2:
+        refs = refs.reshape(refs.shape[0], -1)
+        ests = ests.reshape(ests.shape[0], -1)
+    if refs.ndim == 1:
+        refs, ests = refs[None], ests[None]
+    nsrc, n = refs.shape
+    flen = int(filter_length)
+    n_out = n + flen - 1
+    n_fft = 1 << int(np.ceil(np.log2(n + flen - 1)))
+    refs_f = np.fft.rfft(refs, n=n_fft, axis=-1)
+    ests_f = np.fft.rfft(ests, n=n_fft, axis=-1)
+
+    eps = 1e-30
+    sdr_m = np.empty((nsrc, nsrc))
+    sir_m = np.empty((nsrc, nsrc))
+    sar_m = np.empty((nsrc, nsrc))
+    for j in range(nsrc):  # estimate j
+        p_all = _proj(refs_f, ests_f[j], n_out, flen)
+        est_pad = np.zeros(n_out)
+        est_pad[:n] = ests[j]
+        e_artif = est_pad - p_all
+        for i in range(nsrc):  # candidate target i
+            s_target = _proj(refs_f[i : i + 1], ests_f[j], n_out, flen)
+            e_interf = p_all - s_target
+            p_t = np.sum(s_target**2)
+            sdr_m[j, i] = 10 * np.log10(
+                (p_t + eps) / (np.sum((e_interf + e_artif) ** 2) + eps)
+            )
+            sir_m[j, i] = 10 * np.log10(
+                (p_t + eps) / (np.sum(e_interf**2) + eps)
+            )
+            sar_m[j, i] = 10 * np.log10(
+                (np.sum((s_target + e_interf) ** 2) + eps)
+                / (np.sum(e_artif**2) + eps)
+            )
+    if compute_permutation and nsrc > 1:
+        best, best_perm = -np.inf, tuple(range(nsrc))
+        for perm in itertools.permutations(range(nsrc)):
+            score = float(np.mean([sir_m[j, p] for j, p in enumerate(perm)]))
+            if score > best:
+                best, best_perm = score, perm
+    else:
+        best_perm = tuple(range(nsrc))
+    idx = (np.arange(nsrc), np.asarray(best_perm))
+    return (
+        sdr_m[idx], sir_m[idx], sar_m[idx], np.asarray(best_perm)
+    )
 
 
 # ---------------------------------------------------------------------------

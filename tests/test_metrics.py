@@ -37,6 +37,63 @@ class TestMetrics:
         assert score > 30
 
 
+class TestBssEval:
+    """BSS-Eval (Vincent et al. 2006): 512-tap allowed distortion, error
+    split into interference vs artifacts — the SiSEC/paper SDR."""
+
+    @pytest.fixture()
+    def refs(self):
+        rng = np.random.default_rng(0)
+        n = 16000
+        s = rng.standard_normal((2, n))
+        s[:, -700:] = 0  # zero tails keep delayed/filtered copies in-span
+        return s
+
+    def test_perfect_estimates(self, refs):
+        sdr, sir, sar, perm = metrics.bss_eval_sources(refs, refs)
+        assert (sdr > 100).all() and (sir > 100).all() and (sar > 100).all()
+        assert list(perm) == [0, 1]
+
+    def test_allowed_distortion_is_forgiven(self, refs):
+        """A causal delay or short filter (within the 512-tap span) is
+        allowed distortion: BSS-Eval SDR stays huge where SI-SDR collapses."""
+        n = refs.shape[-1]
+        delayed = np.concatenate([np.zeros(100), refs[0, :-100]])
+        est = np.stack([delayed, refs[1]])
+        sdr, *_ = metrics.bss_eval_sources(refs, est)
+        assert sdr[0] > 100
+        assert metrics.si_sdr(refs[0], delayed) < 0
+
+        rng = np.random.default_rng(1)
+        filt = np.convolve(rng.standard_normal(64) * 0.1, refs[0])[:n]
+        sdr, *_ = metrics.bss_eval_sources(refs, np.stack([filt, refs[1]]))
+        assert sdr[0] > 100
+
+    def test_interference_vs_artifact_split(self, refs):
+        rng = np.random.default_rng(2)
+        n = refs.shape[-1]
+        # interference: leakage of the other source -> SIR ~ 10log10(1/0.09)
+        est = np.stack([refs[0] + 0.3 * refs[1], refs[1]])
+        sdr, sir, sar, _ = metrics.bss_eval_sources(refs, est)
+        assert sir[0] == pytest.approx(10.46, abs=0.7)
+        assert sar[0] > 100  # leakage is NOT an artifact
+        # artifacts: noise outside every source's span -> SAR ~ 20 dB
+        est = np.stack([refs[0] + 0.1 * rng.standard_normal(n), refs[1]])
+        sdr, sir, sar, _ = metrics.bss_eval_sources(refs, est)
+        assert sar[0] == pytest.approx(20.0, abs=0.7)
+        assert sir[0] > 25  # noise barely projects onto the other source
+
+    def test_permutation_recovered(self, refs):
+        sdr, sir, sar, perm = metrics.bss_eval_sources(refs, refs[::-1])
+        assert list(perm) == [1, 0]
+        assert (sdr > 100).all()
+
+    def test_stereo_sources_flatten(self, refs):
+        stereo_refs = np.stack([np.stack([r, r]) for r in refs])  # (2, 2, n)
+        sdr, *_ = metrics.bss_eval_sources(stereo_refs, stereo_refs)
+        assert (sdr > 100).all()
+
+
 class TestStoi:
     def _speech_like(self, seconds=6, sr=16000, seed=0):
         rng = np.random.default_rng(seed)

@@ -160,6 +160,31 @@ class TestRealtimeApp:
         assert app.processor.w.shape[1] == 8
         assert app.histories["coefficient_mask"]._values.shape[1] == 8
 
+    def test_dictionary_change_concurrent_with_blocks(self, app):
+        """set_dictionary from a GUI thread must not race the audio thread's
+        process_block: the engine lock makes structural swaps atomic, so a
+        mid-stream swap can never feed step() a half-rebuilt engine."""
+        import threading
+
+        block = np.zeros((2, app.config.block_size), np.float32)
+        app.process_block(block)  # build the first engine
+        errors = []
+
+        def pump():
+            try:
+                for _ in range(30):
+                    out = app.process_block(block)
+                    assert out.shape == (2, app.config.block_size)
+            except Exception as e:  # pragma: no cover - the regression
+                errors.append(e)
+
+        t = threading.Thread(target=pump)
+        t.start()
+        for size in (8, 16, 8, 16):
+            app.set_dictionary(size=size)
+        t.join()
+        assert not errors, errors
+
     def test_block_time_logging(self, app, caplog):
         import gccnmf_tpu.realtime.app as app_mod
 
