@@ -1,0 +1,69 @@
+"""Evaluate separation quality with BSS-Eval (SDR/SIR/SAR).
+
+Builds a synthetic two-source stereo mixture with known ground truth,
+separates it with the offline pipeline, and reports the SiSEC-standard
+BSS-Eval figures (Vincent et al. 2006) next to the mixture-as-estimate
+baseline — the measurement recipe for any corpus where clean sources are
+available (the reference's papers report these same quantities;
+reference: README.md:39-52).
+
+Run: python examples/evaluate_separation.py
+"""
+
+import numpy as np
+
+from gccnmf_tpu.metrics import bss_eval_sources
+from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
+
+
+def make_sources(n, sr, f0s=(180, 260), seeds=(1, 2)):
+    t = np.arange(n) / sr
+    out = []
+    for f0, seed in zip(f0s, seeds):
+        g = np.random.default_rng(seed)
+        env = np.abs(np.convolve(g.standard_normal(n), np.ones(800) / 800, "same"))
+        harm = sum(np.sin(2 * np.pi * f0 * k * t + g.uniform(0, 6)) / k
+                   for k in (1, 2, 3))
+        out.append((env * harm).astype(np.float32))
+    return out
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--num-iterations", type=int, default=50)
+    ap.add_argument("--dictionary-size", type=int, default=64)
+    args = ap.parse_args()
+
+    sr = 16000
+    n = int(sr * args.seconds)
+    s1, s2 = make_sources(n, sr)
+    d1, d2 = 6, -9  # per-source inter-mic delays (distinct TDOAs)
+    mix = np.stack([
+        s1 + s2,
+        np.roll(s1, d1) + np.roll(s2, d2),
+    ]).astype(np.float32)
+    mix /= np.max(np.abs(mix)) * 1.1
+    refs = np.stack([s1, s2]) / (np.max(np.abs(mix)) * 1.1)
+
+    cfg = OfflineConfig(dictionary_size=args.dictionary_size,
+                        num_iterations=args.num_iterations,
+                        num_sources=2, sample_rate=sr)
+    result = GCCNMFSeparator(cfg).separate(mix)
+    ests = np.asarray(result["estimates"]).mean(axis=1)  # (2, n) mono
+
+    sdr, sir, sar, perm = bss_eval_sources(refs, ests)
+    base = np.stack([mix.mean(axis=0)] * 2)
+    sdr0, sir0, _, _ = bss_eval_sources(refs, base)
+
+    print(f"targets (TDOA idx): {result['target_tdoa_indexes']}  perm: {perm}")
+    print(f"mixture baseline : SDR {np.mean(sdr0):6.2f} dB  SIR {np.mean(sir0):6.2f} dB")
+    print(f"separated        : SDR {np.mean(sdr):6.2f} dB  SIR {np.mean(sir):6.2f} dB  "
+          f"SAR {np.mean(sar):6.2f} dB")
+    print(f"SIR gain         : {np.mean(sir) - np.mean(sir0):6.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

@@ -422,5 +422,73 @@ def serve_main(argv=None):
     return 0
 
 
+def pretrain_main(argv=None):
+    """Pre-learn NMF dictionaries from a WAV corpus into the artifact cache.
+
+    The reference pretrains every size up front from a bundled corpus on
+    first launch (gccNMFPretraining.py:43-58, chimeTrainSet.npy — a
+    missing blob in the snapshot); this makes the step an explicit,
+    deployable command: point it at training WAVs once, and every entry
+    point afterwards loads the cached dictionaries instantly.
+    """
+    ap = argparse.ArgumentParser(
+        description="Pre-learn GCC-NMF dictionaries from a WAV corpus"
+    )
+    ap.add_argument("wavs", nargs="+", help="training WAV paths")
+    ap.add_argument("--sizes", type=int, nargs="+", default=[64, 128, 256],
+                    help="dictionary sizes (atoms) to train")
+    ap.add_argument("--window-size", type=int, default=1024)
+    ap.add_argument("--hop-size", type=int, default=512,
+                    help="corpus framing hop (reference pretrains at "
+                         "window/2)")
+    ap.add_argument("--num-iterations", type=int, default=None,
+                    help="KL-NMF iterations (default: "
+                         "GCCNMF_TPU_PRETRAIN_ITERS or 100)")
+    ap.add_argument("--max-frames", type=int, default=None,
+                    help="cap the corpus frame count (uniform subsample)")
+    ap.add_argument("--cache-dir", default=None,
+                    help="artifact cache directory (default: "
+                         "GCCNMF_TPU_CACHE_DIR or the package cache)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-shards", type=int, default=0,
+                    help="train over an N-device data-parallel mesh "
+                         "(time-sharded V/H, psum-synced W)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    from gccnmf_tpu import pretrain
+
+    corpus = pretrain.training_corpus_from_wavs(
+        args.wavs, args.window_size, args.hop_size, max_frames=args.max_frames
+    )
+    mesh = None
+    if args.data_shards:
+        import jax
+
+        from gccnmf_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(
+            data=args.data_shards, model=1,
+            devices=jax.devices()[: args.data_shards],
+        )
+    trained = {}
+    for size in args.sizes:
+        w = pretrain.pretrain_dictionary(
+            corpus, size, num_iterations=args.num_iterations,
+            cache_dir=args.cache_dir, window_size=args.window_size,
+            mesh=mesh, seed_value=args.seed,
+        )
+        trained[size] = list(w.shape)
+    print(json.dumps(dict(
+        corpus_frames=int(corpus.shape[0]),
+        num_freq=int(corpus.shape[1]),
+        dictionaries={str(k): v for k, v in trained.items()},
+        cache_dir=args.cache_dir or "(default)",
+    )))
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(separate_main())

@@ -168,6 +168,11 @@ def bss_eval_sources(
         ests = ests.reshape(ests.shape[0], -1)
     if refs.ndim == 1:
         refs, ests = refs[None], ests[None]
+    # STFT pipelines legitimately emit slightly shorter waveforms
+    # ((T-1)*hop vs n); evaluate on the common support
+    n_common = min(refs.shape[-1], ests.shape[-1])
+    refs = refs[..., :n_common]
+    ests = ests[..., :n_common]
     nsrc, n = refs.shape
     flen = int(filter_length)
     n_out = n + flen - 1

@@ -253,3 +253,49 @@ def test_serve_cli(tmp_path, monkeypatch, capsys, wav_file):
     for p in result["outputs"]:
         x, sr = wavio.read_wav(p)
         assert np.isfinite(x).all() and x.shape[-1] > 0
+
+
+class TestPretrainCLI:
+    def test_pretrain_cli_trains_and_caches(self, wav_file, tmp_path, capsys):
+        """gccnmf-pretrain trains the requested sizes into the cache; a
+        second run loads from cache (no retraining)."""
+        import time
+
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        cache = str(tmp_path / "cache")
+        argv = [path, "--sizes", "8", "16", "--num-iterations", "3",
+                "--max-frames", "128", "--cache-dir", cache]
+        rc = cli.pretrain_main(argv)
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert info["dictionaries"] == {"8": [513, 8], "16": [513, 16]}
+        cached = sorted(os.listdir(cache))
+        assert len(cached) == 2 and all(f.endswith(".npy") for f in cached)
+        t0 = time.perf_counter()
+        rc = cli.pretrain_main(argv)  # cache hit: same files, no retrain
+        assert rc == 0
+        assert time.perf_counter() - t0 < 5.0
+        assert sorted(os.listdir(cache)) == cached
+
+    def test_pretrain_cli_sharded(self, wav_file, tmp_path, capsys):
+        """--data-shards trains over a data-parallel mesh and matches the
+        single-device dictionary."""
+        import numpy as np
+
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        single, sharded = str(tmp_path / "c1"), str(tmp_path / "c2")
+        base = [path, "--sizes", "8", "--num-iterations", "3",
+                "--max-frames", "128"]
+        assert cli.pretrain_main(base + ["--cache-dir", single]) == 0
+        capsys.readouterr()
+        assert cli.pretrain_main(
+            base + ["--cache-dir", sharded, "--data-shards", "4"]
+        ) == 0
+        capsys.readouterr()
+        w1 = np.load(os.path.join(single, os.listdir(single)[0]))
+        w2 = np.load(os.path.join(sharded, os.listdir(sharded)[0]))
+        np.testing.assert_allclose(w1, w2, rtol=2e-3, atol=2e-5)

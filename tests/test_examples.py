@@ -150,3 +150,15 @@ def test_long_audio_separation_example(mix_wav, tmp_path, monkeypatch, capsys):
     assert len(written) == 2
     for p in written:
         _check_audio(p)
+
+
+def test_evaluate_separation_example(tmp_path, monkeypatch, capsys):
+    _run_example(
+        "evaluate_separation",
+        ["--seconds", "2", "--num-iterations", "20", "--dictionary-size", "32"],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "SIR gain" in out and "separated" in out
+    gain = float(out.strip().splitlines()[-1].split(":")[1].replace("dB", ""))
+    assert gain > 2.0  # separation must beat the mixture baseline
