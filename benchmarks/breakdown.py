@@ -100,22 +100,21 @@ def main():
     print(json.dumps(dict(stage="nmf", ms=round(dt * 1e3, 2),
                           audio_s_per_s=round(audio_s / dt, 1))))
 
-    # _analyze is batch-polymorphic (stft/coherence/NMF all take leading dims)
-    dt, _ = timed(sep._analyze, batch_in, w0b, h0b)
+    # the actual pipeline analyze stage (plane currency, no complex
+    # assembly — `_analyze` is the user-facing wrapper and pays ~25 ms of
+    # bf16→complex64 conversion the batched pipeline never does)
+    analyze_planes = jax.jit(lambda s, w_, h_: sep._analyze_planes(s, w_, h_))
+    dt, (sre, sim, w, h, cre, cim, ang) = timed(
+        analyze_planes, batch_in, w0b, h0b
+    )
     print(json.dumps(dict(stage="analyze", ms=round(dt * 1e3, 2),
                           audio_s_per_s=round(audio_s / dt, 1))))
 
     targets = jnp.broadcast_to(jnp.asarray([10, 60, 110], jnp.int32), (b, 3))
 
-    @jax.jit
-    def recon(spec, coh, w, h, targets):
-        return jax.vmap(
-            lambda s_, c_, w_, h_, t_: sep._reconstruct.__wrapped__(
-                sep, s_, c_, w_, h_, t_
-            )
-        )(spec, coh, w, h, targets)
-
-    dt, _ = timed(recon, spec, coh, w, h, targets)
+    dt, _ = timed(
+        sep._reconstruct_batched_winner, sre, sim, cre, cim, w, h, targets
+    )
     print(json.dumps(dict(stage="reconstruct", ms=round(dt * 1e3, 2),
                           audio_s_per_s=round(audio_s / dt, 1))))
 
