@@ -68,11 +68,29 @@ class StreamServer:
         w: np.ndarray,
         config: StreamConfig = StreamConfig(),
         max_streams: int = 8,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        the slot batch (state, params, blocks) is sharded across it, scaling
+        tenancy across a host's chips over ICI with zero per-tick
+        collectives (the step is slot-local by construction). max_streams
+        must be a multiple of the data-axis size."""
         self.processor = RTGCCNMFProcessor(w, config)
         self.config = config
         self.max_streams = max_streams
-        self._state = self.processor.init_state(max_streams)
+        self.mesh = mesh
+        self._slot_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["data"]
+            if max_streams % dp:
+                raise ValueError(
+                    f"max_streams ({max_streams}) must be a multiple of the "
+                    f"data-axis size ({dp})"
+                )
+            self._slot_sharding = NamedSharding(mesh, P("data"))
+        self._state = self._place(self.processor.init_state(max_streams))
         self._fresh_slot_state = self.processor.init_state(1)
         self._settings: list[StreamSettings | None] = [None] * max_streams
         self._next_id = 0
@@ -83,6 +101,15 @@ class StreamServer:
         # is exactly one block upload and one output download
         self._params_cache: StreamParams | None = None
         self._pending_telemetry = None
+
+    def _place(self, tree):
+        """Shard every leaf's leading slot axis over the mesh (no-op
+        single-device)."""
+        if self._slot_sharding is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._slot_sharding), tree
+        )
 
     # ----------------------------------------------------------- lifecycle
 
@@ -184,9 +211,9 @@ class StreamServer:
         for stream_id, block in blocks.items():
             batch[self._ids[stream_id]] = block
         if self._params_cache is None:
-            self._params_cache = self._batched_params()
+            self._params_cache = self._place(self._batched_params())
         state, out, telemetry = self.processor.step(
-            self._state, jnp.asarray(batch), self._params_cache
+            self._state, self._place(jnp.asarray(batch)), self._params_cache
         )
         self._state = state
         self._blocks_processed += 1

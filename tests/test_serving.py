@@ -179,3 +179,41 @@ def test_silent_ticks_do_not_poison_localization(w, cfg):
     # the poisoning is invisible through argmax (argmax of NaN is a finite
     # 0) — assert the history state itself stayed NaN-free
     assert np.isfinite(np.asarray(srv._state.gcc_history)).all()
+
+
+def test_mesh_sharded_server_matches_single_device(w, cfg):
+    """A StreamServer with the slot batch sharded over a data mesh produces
+    the same outputs and telemetry as the unsharded server (the step is
+    slot-local: zero per-tick collectives)."""
+    import jax
+    from gccnmf_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    srv_a = StreamServer(w, cfg, max_streams=8)
+    srv_b = StreamServer(w, cfg, max_streams=8, mesh=mesh)
+    ids_a = [srv_a.open_stream(StreamSettings(target_tdoa_index=10.0 + i))
+             for i in range(3)]
+    ids_b = [srv_b.open_stream(StreamSettings(target_tdoa_index=10.0 + i))
+             for i in range(3)]
+    blocks = _signal(7, 4, cfg)
+    for t in range(4):
+        subs_a = {i: blocks[t] for i in ids_a}
+        subs_b = {i: blocks[t] for i in ids_b}
+        out_a = srv_a.process(subs_a)
+        out_b = srv_b.process(subs_b)
+        for ia, ib in zip(ids_a, ids_b):
+            np.testing.assert_allclose(out_a[ia], out_b[ib], atol=2e-5)
+    tel_a, tel_b = srv_a.telemetry, srv_b.telemetry
+    for ia, ib in zip(ids_a, ids_b):
+        assert tel_a[ia]["target_tdoa_index"] == pytest.approx(
+            tel_b[ib]["target_tdoa_index"]
+        )
+
+
+def test_mesh_sharded_server_rejects_bad_tenancy(w, cfg):
+    import jax
+    from gccnmf_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="multiple of the data-axis"):
+        StreamServer(w, cfg, max_streams=6, mesh=mesh)
