@@ -45,8 +45,9 @@ def main():
         s1 + s2,
         np.roll(s1, d1) + np.roll(s2, d2),
     ]).astype(np.float32)
-    mix /= np.max(np.abs(mix)) * 1.1
-    refs = np.stack([s1, s2]) / (np.max(np.abs(mix)) * 1.1)
+    scale = 1.0 / (np.max(np.abs(mix)) * 1.1)  # before normalizing mix!
+    mix *= scale
+    refs = np.stack([s1, s2]) * scale  # same scale as the mixture
 
     cfg = OfflineConfig(dictionary_size=args.dictionary_size,
                         num_iterations=args.num_iterations,

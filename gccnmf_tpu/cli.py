@@ -85,6 +85,19 @@ def separate_main(argv=None):
     return 0
 
 
+
+def _resolve_dictionary(cfg, size=None):
+    """Explicit artifact (cfg.dictionary_file) wins; otherwise the
+    corpus-keyed pretraining cache."""
+    from gccnmf_tpu import pretrain
+
+    if cfg.dictionary_file:
+        return pretrain.load_dictionary_file(cfg.dictionary_file, cfg.num_freq)
+    size = size or cfg.dictionary_size
+    banks = pretrain.get_dictionaries(cfg.window_size, sizes=(size,))
+    return banks[cfg.dictionary_type][size]
+
+
 def enhance_main(argv=None):
     ap = argparse.ArgumentParser(description="GCC-NMF speech enhancement")
     ap.add_argument("input", help="stereo WAV")
@@ -92,6 +105,9 @@ def enhance_main(argv=None):
     ap.add_argument("--mode", choices=["offline", "online"], default="online")
     ap.add_argument("-c", "--config", default=None, help="INI config file")
     ap.add_argument("--dictionary-size", type=int, default=None)
+    ap.add_argument("--dictionary-file", default=None,
+                    help=".npy (F, K) dictionary artifact (bypasses "
+                         "pretraining; e.g. from gccnmf-pretrain --save-dir)")
     ap.add_argument("--num-h-updates", type=int, default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -105,14 +121,12 @@ def enhance_main(argv=None):
     cfg = load_config(
         args.config,
         dictionary_size=args.dictionary_size,
+        dictionary_file=args.dictionary_file,
         num_h_updates=args.num_h_updates,
         audio_path=args.input,
     )
     stereo, sr = wav.read_wav(args.input)
-    banks = pretrain.get_dictionaries(
-        cfg.window_size, sizes=(cfg.dictionary_size,)
-    )
-    w = banks[cfg.dictionary_type][cfg.dictionary_size]
+    w = _resolve_dictionary(cfg)
 
     if args.mode == "online":
         from gccnmf_tpu.models.online import OnlineConfig, OnlineGCCNMFEnhancer
@@ -177,6 +191,9 @@ def stream_main(argv=None):
                          "one hop in --low-latency mode")
     ap.add_argument("--realtime", action="store_true",
                     help="host-loop block-by-block with deadline telemetry")
+    ap.add_argument("--dictionary-file", default=None,
+                    help=".npy (F, K) dictionary artifact (bypasses "
+                         "pretraining; e.g. from gccnmf-pretrain --save-dir)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -191,7 +208,8 @@ def stream_main(argv=None):
     )
     from gccnmf_tpu.utils import wav
 
-    cfg = load_config(args.config, audio_path=args.input)
+    cfg = load_config(args.config, audio_path=args.input,
+                      dictionary_file=args.dictionary_file)
 
     # Flag validation needs only the config — do it before the expensive
     # startup work (WAV load, dictionary pretraining on a cold cache).
@@ -213,8 +231,7 @@ def stream_main(argv=None):
                  % (block, hop))
 
     stereo, sr = wav.read_wav(args.input)
-    banks = pretrain.get_dictionaries(cfg.window_size, sizes=(cfg.dictionary_size,))
-    w = banks[cfg.dictionary_type][cfg.dictionary_size]
+    w = _resolve_dictionary(cfg)
     scfg = StreamConfig.from_app_config(
         cfg,
         sample_rate=sr,
@@ -232,6 +249,10 @@ def stream_main(argv=None):
         localization_window=cfg.localization_window_size,
     )
     proc = RTGCCNMFProcessor(w, scfg)
+    if stereo.shape[-1] < scfg.block_size:
+        ap.error(
+            "input is shorter than one %d-sample block" % scfg.block_size
+        )
 
     if args.realtime:
         import time
@@ -239,10 +260,6 @@ def stream_main(argv=None):
         import jax.numpy as jnp
 
         blocks = proc.blocks_from_signal(stereo)
-        if blocks.shape[0] == 0:
-            ap.error(
-                "input is shorter than one %d-sample block" % scfg.block_size
-            )
         state = proc.init_state(1)
         outs, times = [], []
         for i in range(blocks.shape[0]):
@@ -337,6 +354,9 @@ def serve_main(argv=None):
     ap.add_argument("-o", "--output-dir", default=".",
                     help="directory for <name>_enhanced.wav outputs")
     ap.add_argument("-c", "--config", default=None, help="INI config file")
+    ap.add_argument("--dictionary-file", default=None,
+                    help=".npy (F, K) dictionary artifact (bypasses "
+                         "pretraining)")
     ap.add_argument("--max-streams", type=int, default=None,
                     help="slot count (default: number of inputs)")
     ap.add_argument("--dictionary-size", type=int, default=None)
@@ -353,12 +373,10 @@ def serve_main(argv=None):
     from gccnmf_tpu.serving import StreamServer
     from gccnmf_tpu.utils import wav as wavio
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, dictionary_file=args.dictionary_file)
     dict_size = args.dictionary_size or cfg.dictionary_size
     scfg = StreamConfig.from_app_config(cfg)
-    w = pretrain.get_dictionaries(scfg.window_size, sizes=(dict_size,))[
-        cfg.dictionary_type
-    ][dict_size]
+    w = _resolve_dictionary(cfg, size=dict_size)
     server = StreamServer(w, scfg, max_streams=args.max_streams or len(args.inputs))
 
     streams = {}
@@ -423,13 +441,20 @@ def serve_main(argv=None):
 
 
 def pretrain_main(argv=None):
-    """Pre-learn NMF dictionaries from a WAV corpus into the artifact cache.
+    """Pre-learn NMF dictionaries from a WAV corpus.
 
     The reference pretrains every size up front from a bundled corpus on
     first launch (gccNMFPretraining.py:43-58, chimeTrainSet.npy — a
-    missing blob in the snapshot); this makes the step an explicit,
-    deployable command: point it at training WAVs once, and every entry
-    point afterwards loads the cached dictionaries instantly.
+    missing blob in the snapshot). This makes the step an explicit,
+    deployable command. Two outputs:
+
+    - the corpus-keyed artifact cache (reused automatically only by runs
+      with the SAME corpus/iterations/seed — the key is deliberately
+      strict to prevent stale reuse);
+    - with ``--save-dir``, stable ``W_<size>.npy`` artifacts (the
+      reference's own pretrainedW naming, gccNMFPretraining.py:36-37)
+      that every entry point loads via ``--dictionary-file`` /
+      ``dictionaryFile`` — the production handoff.
     """
     ap = argparse.ArgumentParser(
         description="Pre-learn GCC-NMF dictionaries from a WAV corpus"
@@ -450,6 +475,9 @@ def pretrain_main(argv=None):
                     help="artifact cache directory (default: "
                          "GCCNMF_TPU_CACHE_DIR or the package cache)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-dir", default=None,
+                    help="also export stable W_<size>.npy artifacts here "
+                         "(consumed via --dictionary-file / dictionaryFile)")
     ap.add_argument("--data-shards", type=int, default=0,
                     help="train over an N-device data-parallel mesh "
                          "(time-sharded V/H, psum-synced W)")
@@ -474,6 +502,11 @@ def pretrain_main(argv=None):
             devices=jax.devices()[: args.data_shards],
         )
     trained = {}
+    saved = []
+    if args.save_dir:
+        import os
+
+        os.makedirs(args.save_dir, exist_ok=True)
     for size in args.sizes:
         w = pretrain.pretrain_dictionary(
             corpus, size, num_iterations=args.num_iterations,
@@ -481,11 +514,18 @@ def pretrain_main(argv=None):
             mesh=mesh, seed_value=args.seed,
         )
         trained[size] = list(w.shape)
+        if args.save_dir:
+            import os
+
+            path = os.path.join(args.save_dir, f"W_{size}.npy")
+            np.save(path, w)
+            saved.append(path)
     print(json.dumps(dict(
         corpus_frames=int(corpus.shape[0]),
         num_freq=int(corpus.shape[1]),
         dictionaries={str(k): v for k, v in trained.items()},
         cache_dir=args.cache_dir or "(default)",
+        saved=saved,
     )))
     return 0
 

@@ -57,6 +57,10 @@ class GCCNMFConfig:
     dictionary_size: int = 64
     dictionary_sizes: tuple = (64, 128, 256, 512, 1024)
     dictionary_type: str = "Pretrained"
+    # explicit dictionary artifact (.npy, (F, K)): bypasses pretraining and
+    # the corpus-keyed cache entirely — the production handoff from
+    # `gccnmf-pretrain --save-dir` to every serving/streaming entry point
+    dictionary_file: str | None = None
     num_h_updates: int = 0
 
     # paths
@@ -91,6 +95,7 @@ _OPTION_MAP = {
     "hopSize": "hop_size",
     "blockSize": "block_size",
     "dictionarySize": "dictionary_size",
+    "dictionaryFile": "dictionary_file",
     "dictionarySizes": "dictionary_sizes",
     "dictionaryType": "dictionary_type",
     "numHUpdates": "num_h_updates",

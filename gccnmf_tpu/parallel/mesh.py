@@ -48,7 +48,11 @@ def gather_to_host(x) -> "np.ndarray":
     """
     import numpy as np
 
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+        # fully-addressable arrays (single process, or a mesh confined to
+        # this host's devices) materialize directly — process_allgather
+        # would treat the local copy as a shard and CONCATENATE duplicates
+        # across processes
         return np.asarray(x)
     from jax.experimental import multihost_utils
 

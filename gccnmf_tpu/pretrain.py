@@ -36,6 +36,7 @@ __all__ = [
     "training_corpus_from_wavs",
     "pretrain_dictionary",
     "get_dictionaries",
+    "load_dictionary_file",
 ]
 
 DEFAULT_SIZES = (64, 128, 256, 512, 1024)
@@ -135,6 +136,28 @@ def pretrain_dictionary(
     os.makedirs(cache_dir, exist_ok=True)
     np.save(cache_path, w)
     return w
+
+
+def load_dictionary_file(path: str, num_freq: int | None = None) -> np.ndarray:
+    """Load an explicit dictionary artifact (.npy, (F, K) nonnegative).
+
+    The production handoff: ``gccnmf-pretrain --save-dir`` exports these
+    and every entry point accepts one via ``dictionary_file`` /
+    ``--dictionary-file``, bypassing the corpus-keyed pretraining cache
+    (whose key deliberately changes with corpus/iterations/seed — an
+    artifact file is the stable way to pin a specific trained W).
+    """
+    w = np.load(path)
+    if w.ndim != 2:
+        raise ValueError(f"{path}: expected a (F, K) array, got {w.shape}")
+    if num_freq is not None and w.shape[0] != num_freq:
+        raise ValueError(
+            f"{path}: dictionary has {w.shape[0]} frequency rows but the "
+            f"configured window expects {num_freq}"
+        )
+    if np.min(w) < 0:
+        raise ValueError(f"{path}: dictionary must be nonnegative")
+    return np.ascontiguousarray(w, np.float32)
 
 
 def get_dictionaries(

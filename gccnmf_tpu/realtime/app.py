@@ -103,13 +103,22 @@ class RealtimeGCCNMF:
         # telemetry stays device-side until someone reads `histories`
         # (the GUI's 100 ms timer, a notebook cell): the deadline-critical
         # block loop never pays device→host fetches for plots nobody is
-        # watching. Bounded so an undrained headless run holds O(32) blocks
-        # of small device arrays, not the whole session.
-        self._pending_telemetry: deque = deque(maxlen=32)
+        # watching. Bounded at the history depth so a late drain can still
+        # fill the rings completely (a shorter bound silently truncated
+        # headless runs' waterfalls to its length).
+        self._pending_telemetry: deque = deque(
+            maxlen=max(hist, spec_hist)
+        )
 
     # ----------------------------------------------------------- dictionary
 
     def _get_dictionary(self) -> np.ndarray:
+        if self.config.dictionary_file:
+            # explicit artifact (gccnmf-pretrain --save-dir handoff) wins
+            # over the corpus-keyed pretraining cache
+            return pretrain.load_dictionary_file(
+                self.config.dictionary_file, self.config.num_freq
+            )
         if self._dictionaries is None:
             self._dictionaries = {}
         bank = self._dictionaries.setdefault(self.dictionary_type, {})
@@ -249,10 +258,12 @@ class RealtimeGCCNMF:
             self._state, out, telemetry = proc.step(
                 self._state, jnp.asarray(block[None]), self.params
             )
+            # queued under the lock: set_dictionary clears the queue when
+            # the mask width changes, and a stale old-width item appended
+            # after its clear would crash the next histories drain
+            self._pending_telemetry.append(telemetry)
         out_np = np.asarray(out[0])
         self._block_times.record(time.perf_counter() - t0)
-        # device arrays queued as-is — no host fetch on the deadline path
-        self._pending_telemetry.append(telemetry)
         self._log_block_times()
         return out_np
 

@@ -35,12 +35,11 @@ def rng():
     return np.random.default_rng(1234)
 
 
-@pytest.fixture(scope="session")
-def stereo_signal():
-    """Synthetic 2-second stereo mixture at 16 kHz: two delayed speech-like
-    sources plus noise, so GCC-PHAT has real structure."""
-    sr = 16000
-    n = 2 * sr
+def make_test_sources(n, sr=16000):
+    """The fixture mixture's ground-truth sources (two delayed speech-like
+    harmonics). ONE definition: tests that need BSS-Eval references against
+    the `stereo_signal` fixture must rebuild EXACTLY these — duplicating
+    the construction risks the quality gate silently measuring garbage."""
     t = np.arange(n) / sr
 
     def source(f0, seed):
@@ -49,7 +48,16 @@ def stereo_signal():
         harm = sum(np.sin(2 * np.pi * f0 * k * t + g.uniform(0, 6)) / k for k in (1, 2, 3))
         return (env * harm).astype(np.float32)
 
-    s1, s2 = source(180, 1), source(260, 2)
+    return source(180, 1), source(260, 2)
+
+
+@pytest.fixture(scope="session")
+def stereo_signal():
+    """Synthetic 2-second stereo mixture at 16 kHz: two delayed speech-like
+    sources plus noise, so GCC-PHAT has real structure."""
+    sr = 16000
+    n = 2 * sr
+    s1, s2 = make_test_sources(n, sr)
     d1, d2 = 6, -9  # integer sample delays between mics
     g = np.random.default_rng(1234)  # own stream: order-independent data
     left = s1 + s2 + 0.01 * g.standard_normal(n).astype(np.float32)

@@ -299,3 +299,52 @@ class TestPretrainCLI:
         w1 = np.load(os.path.join(single, os.listdir(single)[0]))
         w2 = np.load(os.path.join(sharded, os.listdir(sharded)[0]))
         np.testing.assert_allclose(w1, w2, rtol=2e-3, atol=2e-5)
+
+    def test_pretrain_save_dir_to_dictionary_file_handoff(
+        self, wav_file, tmp_path, capsys, monkeypatch
+    ):
+        """The production flow: gccnmf-pretrain --save-dir exports stable
+        W_<size>.npy artifacts that every entry point loads directly via
+        --dictionary-file, bypassing the corpus-keyed cache (whose key
+        deliberately changes with corpus/iterations/seed)."""
+        from gccnmf_tpu import cli, pretrain
+
+        path, sr = wav_file
+        save = tmp_path / "dicts"
+        rc = cli.pretrain_main(
+            [path, "--sizes", "16", "--num-iterations", "3",
+             "--max-frames", "128", "--cache-dir", str(tmp_path / "c"),
+             "--save-dir", str(save)]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert info["saved"] == [str(save / "W_16.npy")]
+
+        # any later entry point must use the artifact WITHOUT pretraining
+        def _no_pretrain(*a, **k):
+            raise AssertionError("pretraining ran despite --dictionary-file")
+
+        monkeypatch.setattr(pretrain, "get_dictionaries", _no_pretrain)
+        rc = cli.stream_main(
+            ["-i", path, "-o", str(tmp_path / "o.wav"),
+             "--dictionary-file", str(save / "W_16.npy")]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert os.path.exists(out["output"])
+
+    def test_dictionary_file_validation(self, tmp_path, wav_file):
+        from gccnmf_tpu import pretrain
+
+        bad = tmp_path / "bad.npy"
+        np.save(bad, np.ones((3, 4, 5), np.float32))
+        with pytest.raises(ValueError, match="expected"):
+            pretrain.load_dictionary_file(str(bad))
+        wrongf = tmp_path / "wrongf.npy"
+        np.save(wrongf, np.ones((100, 8), np.float32))
+        with pytest.raises(ValueError, match="frequency rows"):
+            pretrain.load_dictionary_file(str(wrongf), num_freq=513)
+        neg = tmp_path / "neg.npy"
+        np.save(neg, -np.ones((513, 8), np.float32))
+        with pytest.raises(ValueError, match="nonnegative"):
+            pretrain.load_dictionary_file(str(neg), num_freq=513)

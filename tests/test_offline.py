@@ -97,32 +97,18 @@ class TestOfflineSeparation:
 class TestSeparationQuality:
     """Absolute-quality regression: parity tests can't catch a regression
     the oracle shares; this pins the algorithm's separating power with
-    BSS-Eval against the fixture's known ground-truth sources."""
-
-    # the conftest mixture is built from two known delayed sources —
-    # rebuild them here the same way to serve as BSS-Eval references
-    def _sources(self, n, sr):
-        t = np.arange(n) / sr
-
-        def source(f0, seed):
-            g = np.random.default_rng(seed)
-            env = np.abs(np.convolve(
-                g.standard_normal(n), np.ones(800) / 800, "same"
-            ))
-            harm = sum(
-                np.sin(2 * np.pi * f0 * k * t + g.uniform(0, 6)) / k
-                for k in (1, 2, 3)
-            )
-            return (env * harm).astype(np.float32)
-
-        return source(180, 1), source(260, 2)
+    BSS-Eval against the fixture's known ground-truth sources (ONE shared
+    builder — conftest.make_test_sources — so the references can never
+    drift from the fixture mixture)."""
 
     def test_sir_gain(self, stereo_signal):
+        from conftest import make_test_sources
+
         from gccnmf_tpu.metrics import bss_eval_sources
 
         mix, sr = stereo_signal
         n = mix.shape[-1]
-        s1, s2 = self._sources(n, sr)
+        s1, s2 = make_test_sources(n, sr)
         scale = 1.0 / (np.max(np.abs(
             np.stack([s1 + s2, np.roll(s1, 6) + np.roll(s2, -9)])
         )) * 1.1)
