@@ -313,6 +313,9 @@ def realtime_main(argv=None):
     ap.add_argument("--loop", action="store_true", help="loop the input file")
     ap.add_argument("--realtime-pace", action="store_true",
                     help="pace blocks at the 32 ms deadline")
+    ap.add_argument("--dictionary-file", default=None,
+                    help=".npy (F, K) dictionary artifact (bypasses "
+                         "pretraining; e.g. from gccnmf-pretrain --save-dir)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -325,9 +328,12 @@ def realtime_main(argv=None):
     if args.loop and args.blocks is None:
         ap.error("--loop requires --blocks (otherwise the run never ends)")
 
+    from gccnmf_tpu.config import load_config
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
 
-    app = RealtimeGCCNMF(args.input, args.config)
+    cfg = load_config(args.config, audio_path=args.input,
+                      dictionary_file=args.dictionary_file)
+    app = RealtimeGCCNMF(args.input, config=cfg)
     stats = app.run(
         output_path=args.output,
         num_blocks=args.blocks,
