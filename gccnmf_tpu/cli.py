@@ -231,6 +231,8 @@ def stream_main(argv=None):
                  % (block, hop))
 
     stereo, sr = wav.read_wav(args.input)
+    if stereo.shape[-1] < block:
+        ap.error("input is shorter than one %d-sample block" % block)
     w = _resolve_dictionary(cfg)
     scfg = StreamConfig.from_app_config(
         cfg,
@@ -249,10 +251,6 @@ def stream_main(argv=None):
         localization_window=cfg.localization_window_size,
     )
     proc = RTGCCNMFProcessor(w, scfg)
-    if stereo.shape[-1] < scfg.block_size:
-        ap.error(
-            "input is shorter than one %d-sample block" % scfg.block_size
-        )
 
     if args.realtime:
         import time
