@@ -112,3 +112,40 @@ class TestSTFT:
             for t in range(7):
                 want[:, t * hop : t * hop + 96] += frames[:, t]
             np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestRoundTripSweep:
+    """Reconstruction property over a sweep of window/hop/method combos —
+    pins COLA correctness away from the reference's single 1024/128 shape
+    (including the high-overlap ratios the synthesis kernels' OLA lookahead
+    was once hard-coded against)."""
+
+    @pytest.mark.parametrize("win,hop", [
+        (256, 32), (256, 64), (512, 64), (1024, 64),  # ratio 16: >9 overlap
+        (1024, 256), (128, 16),
+    ])
+    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    def test_unit_gain_round_trip(self, win, hop, method):
+        """Analysis hann with a COLA-normalized synthesis window gives a
+        unit-gain interior reconstruction at any hop dividing the window."""
+        rng = np.random.default_rng(win + hop)
+        y = (rng.standard_normal(win * 10) * 0.3).astype(np.float32)
+        w = win_ops.hann_periodic(win)
+        cola = float(np.sum((w * w)[::hop]))
+        spec = stft_ops.stft(jnp.asarray(y), w, hop, method=method)
+        rec = np.asarray(
+            stft_ops.istft(spec, w / cola, hop, center_trim=True,
+                           method=method)
+        )
+        interior = slice(win, len(rec) - win)
+        offset = win // 2
+        np.testing.assert_allclose(
+            rec[interior], y[offset:][: len(rec)][interior], atol=5e-4
+        )
+
+    def test_asymmetric_pair_sweep(self):
+        """COLA holds for asymmetric pairs across synthesis lengths."""
+        for win, syn in [(1024, 256), (1024, 64), (512, 128), (1024, 24)]:
+            hop = syn // 2
+            wa, ws = win_ops.asymmetric_analysis_synthesis_pair(win, syn, hop)
+            assert win_ops.cola_check(wa * ws, hop) < 1e-6, (win, syn)

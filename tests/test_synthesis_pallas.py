@@ -97,3 +97,43 @@ class TestSynthesisPallas:
                 targets, window, hop, gain,
             )
             np.testing.assert_allclose(np.asarray(out)[bi], ref, atol=3e-4)
+
+
+def test_high_overlap_ratio():
+    """window/hop ratio 16 (> the 9 the OLA selection lookahead was once
+    hard-coded for): the kernel must size its carry rows from the ratio."""
+    spec, coh, w, h_stereo, cos_m, sin_m, targets = _problem(t=40)
+    window = win_ops.hann_symmetric(32)
+    hop, gain = 2, 0.125  # ratio 16
+    want = _xla_reference(
+        spec, coh, w, h_stereo, cos_m, sin_m, targets, window, hop, gain
+    )
+    winner = masks.attribution_winner(
+        jnp.asarray(coh)[None], cos_m, sin_m,
+        jnp.asarray(targets)[None], jnp.asarray(w)[None],
+    )
+    got = np.asarray(masked_synthesis_pallas(
+        jnp.asarray(spec)[None], winner, jnp.asarray(w)[None],
+        jnp.asarray(h_stereo)[None], window,
+        num_targets=3, hop_size=hop, gain=gain,
+        matmul_dtype="float32", tile_t=16, interpret=True,
+    ))[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_overlap_beyond_tile_rejected():
+    spec, coh, w, h_stereo, cos_m, sin_m, targets = _problem()
+    window = win_ops.hann_symmetric(32)
+    winner = masks.attribution_winner(
+        jnp.asarray(coh)[None], cos_m, sin_m,
+        jnp.asarray(targets)[None], jnp.asarray(w)[None],
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds"):
+        masked_synthesis_pallas(
+            jnp.asarray(spec)[None], winner, jnp.asarray(w)[None],
+            jnp.asarray(h_stereo)[None], window,
+            num_targets=3, hop_size=1, gain=1.0,  # ratio 32 > tile 16
+            matmul_dtype="float32", tile_t=16, interpret=True,
+        )
