@@ -196,6 +196,28 @@ def bench_enhance_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     return batch * stereo.shape[-1] / sr / per_run
 
 
+def bench_online_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
+    """Online causal enhancement (sliding localization, streaming-mask
+    semantics over whole utterances) audio-s/s, batched."""
+    import jax.numpy as jnp
+
+    from gccnmf_tpu.models.online import OnlineConfig, OnlineGCCNMFEnhancer
+
+    rng = np.random.default_rng(0)
+    k = 64 if quick else 128
+    cfg = OnlineConfig(
+        sample_rate=sr, mic_separation_m=0.1,
+        num_tdoas=64 if quick else 64, num_h_updates=0,
+    )
+    w = rng.random((cfg.num_freq, k)).astype(np.float32) + 1e-3
+    enh = OnlineGCCNMFEnhancer(w, cfg)
+    batch_in = jnp.asarray(
+        np.ascontiguousarray(np.broadcast_to(stereo, (batch,) + stereo.shape))
+    )
+    per_run = _timed_loop(lambda: enh._enhance_jit(batch_in), repeats)
+    return batch * stereo.shape[-1] / sr / per_run
+
+
 def bench_offline_numpy(stereo, sr, quick: bool):
     from gccnmf_tpu.baselines import numpy_ref
 
@@ -321,6 +343,9 @@ def main():
     enhance_throughput = bench_enhance_tpu(
         stereo, sr, min(batch, 64), args.repeats, args.quick
     )
+    online_throughput = bench_online_tpu(
+        stereo, sr, min(batch, 64), args.repeats, args.quick
+    )
     device_ms, p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
@@ -348,6 +373,7 @@ def main():
         "realtime_factor": round(tpu_throughput, 2),
         "with_host_io_audio_s_per_s": round(host_io_throughput, 2),
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
+        "online_enhancement_audio_s_per_s": round(online_throughput, 2),
         "quality_min_snr_vs_numpy_oracle_db": (
             round(quality_db, 1) if quality_db is not None else None
         ),
