@@ -160,6 +160,7 @@ def enhance_main(argv=None):
             target_epsilon=cfg.target_tdoa_epsilon,
             target_beta=cfg.target_tdoa_beta,
             noise_floor=cfg.target_tdoa_noise_floor,
+            num_h_updates=cfg.num_h_updates,
         ).enhance(stereo)["enhanced"]
 
     out_path = args.output or args.input.rsplit(".", 1)[0] + "_enhanced.wav"
@@ -309,6 +310,10 @@ def realtime_main(argv=None):
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop after N blocks (default: whole file)")
     ap.add_argument("--loop", action="store_true", help="loop the input file")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="with --gui: stop at end of file instead of looping "
+                         "(the GUI loops by default, like the reference's "
+                         "realtime window, audioProcessor.py:109-110)")
     ap.add_argument("--realtime-pace", action="store_true",
                     help="pace blocks at the 32 ms deadline")
     ap.add_argument("--dictionary-file", default=None,
@@ -318,19 +323,23 @@ def realtime_main(argv=None):
     args = ap.parse_args(argv)
     if args.verbose:
         logging.basicConfig(level=logging.INFO)
+    from gccnmf_tpu.config import load_config
+
+    cfg = load_config(args.config, audio_path=args.input,
+                      dictionary_file=args.dictionary_file)
     if args.gui:
         from gccnmf_tpu.gui import run_gui
 
-        run_gui(args.input, args.config, loop=args.loop)
+        # GUI loops playback by default like the reference realtime window
+        # (audioProcessor.py:109-110 wraps sampleIndex to 0); --no-loop opts
+        # out. The built config carries --dictionary-file through.
+        run_gui(args.input, config=cfg, loop=not args.no_loop)
         return 0
     if args.loop and args.blocks is None:
         ap.error("--loop requires --blocks (otherwise the run never ends)")
 
-    from gccnmf_tpu.config import load_config
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
 
-    cfg = load_config(args.config, audio_path=args.input,
-                      dictionary_file=args.dictionary_file)
     app = RealtimeGCCNMF(args.input, config=cfg)
     stats = app.run(
         output_path=args.output,

@@ -253,10 +253,14 @@ class RealtimeGCCNMFWindow:
 
 
 def run_gui(audio_path: str | None = None, config_path: str | None = None,
-            loop: bool = True):
-    """Build the app + window and enter the Tk main loop."""
+            loop: bool = True, config=None):
+    """Build the app + window and enter the Tk main loop.
+
+    ``config`` (a :class:`gccnmf_tpu.config.GCCNMFConfig`) takes precedence
+    over ``config_path`` so CLI-built configs (e.g. carrying
+    ``--dictionary-file``) reach the app intact."""
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
 
-    app = RealtimeGCCNMF(audio_path, config_path)
+    app = RealtimeGCCNMF(audio_path, config_path, config=config)
     win = RealtimeGCCNMFWindow(app, loop=loop)
     win.run()

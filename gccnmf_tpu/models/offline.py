@@ -519,7 +519,11 @@ class GCCNMFEnhancer:
             spec, coh = cspec, ccoh
         target_idx = jnp.argmax(gcc.mean_angular_spectrum(ang), axis=-1)
 
-        if self._synthesis_backend == "pallas":
+        # With H inference requested the mask depends on H, which the fused
+        # enhancement kernel does not model — use the XLA tail (the H path
+        # mirrors the online enhancer, models/online.py:139-146; reference
+        # plumbs this as numHUpdates, realtime/config.py:73).
+        if self._synthesis_backend == "pallas" and self.num_h_updates <= 0:
             from gccnmf_tpu.ops.enhance_pallas import enhance_synthesis_pallas
 
             if isinstance(spec, tuple):
@@ -568,7 +572,20 @@ class GCCNMFEnhancer:
             target_beta,
             noise_floor,
         )
-        tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (..., T, F)
+        if self.num_h_updates > 0:
+            v = jnp.mean(jnp.abs(spec), axis=-3)  # (..., T, F) channel-avg
+            h0 = jnp.ones(v.shape[:-1] + (self.w.shape[1],), jnp.float32)
+            h = nmf.h_infer(
+                v, self.w, h0, self.num_h_updates, epsilon=cfg.epsilon
+            )
+            prec = xprec.get()
+            num = jnp.einsum(
+                "...tk,fk->...tf", h * h_mask, self.w, precision=prec
+            )
+            den = jnp.einsum("...tk,fk->...tf", h, self.w, precision=prec)
+            tf_mask = num / (den + cfg.epsilon)
+        else:
+            tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (..., T, F)
         out_spec = tf_mask[..., None, :, :] * spec
         out = stft_ops.istft(
             out_spec,

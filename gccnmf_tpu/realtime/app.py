@@ -116,9 +116,21 @@ class RealtimeGCCNMF:
         if self.config.dictionary_file:
             # explicit artifact (gccnmf-pretrain --save-dir handoff) wins
             # over the corpus-keyed pretraining cache
-            return pretrain.load_dictionary_file(
+            w = pretrain.load_dictionary_file(
                 self.config.dictionary_file, self.config.num_freq
             )
+            k = w.shape[1]
+            if k != self.dictionary_size:
+                # the artifact's atom count is the truth: telemetry buffers
+                # sized from cfg.dictionary_size would reject the engine's
+                # (·, K) masks with a broadcast error otherwise
+                self.dictionary_size = k
+                self.config = dc_replace(self.config, dictionary_size=k)
+                self._histories["coefficient_mask"] = CircularBuffer(
+                    k, self.config.num_spectrogram_history
+                )
+                self._pending_telemetry.clear()
+            return w
         if self._dictionaries is None:
             self._dictionaries = {}
         bank = self._dictionaries.setdefault(self.dictionary_type, {})
@@ -208,9 +220,14 @@ class RealtimeGCCNMF:
         return self._histories
 
     def drain_telemetry(self) -> None:
-        """Materialize queued device telemetry into the host histories."""
-        while self._pending_telemetry:
-            self._update_histories(self._pending_telemetry.popleft())
+        """Materialize queued device telemetry into the host histories.
+
+        Runs under the engine lock: :meth:`set_dictionary` clears the queue
+        and swaps the mask buffer's width, and a drain racing that swap
+        could apply an old-width mask to the new buffer."""
+        with self._engine_lock:
+            while self._pending_telemetry:
+                self._update_histories(self._pending_telemetry.popleft())
 
     def _update_histories(self, telemetry: dict) -> None:
         h = self._histories

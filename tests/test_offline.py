@@ -151,6 +151,23 @@ class TestOfflineEnhancement:
         assert 0 < out_energy < in_energy  # mask removes energy
         assert 0 <= int(res["target_tdoa_index"]) < 64
 
+    def test_num_h_updates_changes_output(self, stereo_signal):
+        """N>0 H-inference updates must actually alter the mask (the
+        reference plumbs numHUpdates but never uses it in the offline path;
+        here it selects the H-aware Wiener mask, models/offline.py)."""
+        mix, sr = stereo_signal
+        rng = np.random.default_rng(1)
+        w = rng.random((513, 16)).astype(np.float32) + 0.1
+        cfg = OfflineConfig(dictionary_size=16, num_tdoas=32, sample_rate=sr)
+        base = GCCNMFEnhancer(w, cfg).enhance(mix)["enhanced"]
+        with_h = GCCNMFEnhancer(w, cfg, num_h_updates=10).enhance(mix)[
+            "enhanced"
+        ]
+        assert base.shape == with_h.shape
+        assert not np.allclose(base, with_h, atol=1e-6)
+        # H-aware output is still a masked (energy-reduced) mixture
+        assert 0 < (with_h ** 2).sum() < (mix ** 2).sum()
+
     def test_enhance_batched(self, stereo_signal):
         mix, sr = stereo_signal
         rng = np.random.default_rng(0)
@@ -173,11 +190,26 @@ class TestBundledDevWav:
         waveform parity vs oracle."""
         from gccnmf_tpu.utils import wav as wavio
 
+        from gccnmf_tpu.metrics import bss_eval_sources
+
         mix, sr = wavio.read_wav(defs.DEFAULT_SEPARATION_FILE)
         want = oracle.separate_ref(mix, sr)
         sep = GCCNMFSeparator(OfflineConfig(sample_rate=sr))
         got = sep.separate(mix)
         assert got["target_tdoa_indexes"] == list(want["targets"])
+        # Floor pinned just under the measured margin (31.2 dB min SNR in
+        # throughput mode on TPU, higher in the f32 CPU test environment) —
+        # a numerics regression to "clearly audible" can't hide under a
+        # loose >20 dB gate.
         for t in range(3):
             s = snr_db(want["estimates"][t], got["estimates"][t])
-            assert s > 20.0, f"target {t}: parity SNR {s:.1f} dB"
+            assert s > 29.0, f"target {t}: parity SNR {s:.1f} dB"
+        # BSS-Eval SDR floor vs the oracle estimates (projection-based, so
+        # it also catches gain/filtering drift that plain SNR forgives less
+        # precisely than it should).
+        n = min(got["estimates"].shape[-1], want["estimates"].shape[-1])
+        sdr, _, _, _ = bss_eval_sources(
+            np.asarray(want["estimates"]).mean(axis=1)[..., :n],
+            np.asarray(got["estimates"]).mean(axis=1)[..., :n],
+        )
+        assert float(np.min(sdr)) > 25.0, f"BSS-Eval SDR vs oracle: {sdr}"

@@ -185,6 +185,32 @@ class TestRealtimeApp:
         t.join()
         assert not errors, errors
 
+    def test_dictionary_file_size_mismatch_syncs_telemetry(
+        self, tmp_path, stereo_signal
+    ):
+        """An artifact whose atom count differs from cfg.dictionary_size
+        must resize the coefficient-mask history to the artifact's K —
+        otherwise the first histories drain raises a broadcast error."""
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "mix.wav")
+        wavio.write_wav(mix, path, sr)
+        rng = np.random.default_rng(0)
+        np.save(tmp_path / "W_24.npy", rng.random((513, 24)).astype(np.float32))
+        cfg = load_config(
+            None, dictionary_size=16,  # deliberately != the artifact's 24
+            dictionary_file=str(tmp_path / "W_24.npy"),
+        )
+        app = RealtimeGCCNMF(path, config=cfg)
+        app.run(num_blocks=4)
+        masks = app.histories["coefficient_mask"]
+        assert masks._values.shape[1] == 24
+        assert masks.num_values > 0
+        assert app.dictionary_size == 24
+
     def test_block_time_logging(self, app, caplog):
         import gccnmf_tpu.realtime.app as app_mod
 
