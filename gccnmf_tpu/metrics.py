@@ -24,8 +24,10 @@ import numpy as np
 
 __all__ = [
     "snr", "si_sdr", "sdr", "permutation_invariant", "stoi",
-    "bss_eval_sources",
+    "bss_eval_sources", "pesq",
 ]
+
+from gccnmf_tpu.pesq_p862 import pesq  # noqa: E402  (re-export)
 
 
 def _flatten_channels(x: np.ndarray) -> np.ndarray:

@@ -146,3 +146,97 @@ class TestStoi:
         x = self._speech_like()
         with pytest.raises(ValueError):
             metrics.stoi(np.stack([x, x, x]), np.stack([x, x]), 16000)
+
+
+class TestPesq:
+    """Behavioral validation of the clean-room P.862 implementation (the
+    ITU conformance vectors are not redistributable/present in this image;
+    see gccnmf_tpu/pesq_p862.py module docstring for the calibration)."""
+
+    @staticmethod
+    def _speech_like(seconds=4, sr=16000, seed=0):
+        rng = np.random.default_rng(seed)
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        f0 = 120 + 30 * np.sin(2 * np.pi * 0.7 * t)
+        phase = np.cumsum(2 * np.pi * f0 / sr)
+        voiced = sum(np.sin(k * phase) / k for k in range(1, 12))
+        frication = rng.standard_normal(n) * 0.1  # broadband excitation
+        env = np.clip(np.sin(2 * np.pi * 2.3 * t), 0, None)
+        x = (voiced + frication) * env
+        return x / np.abs(x).max()
+
+    def test_identity_scores_max(self):
+        x = self._speech_like()
+        assert metrics.pesq(x, x, 16000) == pytest.approx(4.64, abs=0.02)
+        x8 = self._speech_like(sr=8000)
+        assert metrics.pesq(x8, x8, 8000) == pytest.approx(4.55, abs=0.02)
+
+    def test_noise_monotone_and_ranges(self):
+        """White additive noise: scores decrease monotonically with SNR and
+        land in the bands published P.862 studies report (~4.2 at 40 dB
+        down to <2.3 at 0 dB)."""
+        x = self._speech_like()
+        rng = np.random.default_rng(1)
+        scores = []
+        for snr_db in [40, 30, 20, 10, 0]:
+            n = rng.standard_normal(x.size)
+            n *= np.sqrt((x ** 2).mean() / (n ** 2).mean()) * 10 ** (-snr_db / 20)
+            scores.append(metrics.pesq(x, x + n, 16000))
+        assert scores == sorted(scores, reverse=True), scores
+        assert 3.8 < scores[0] < 4.6, scores  # 40 dB: slightly audible
+        assert 1.2 < scores[-1] < 2.4, scores  # 0 dB: bad but non-floor
+
+    def test_delay_and_gain_invariance(self):
+        """Constant misalignment and level offsets are the aligner's and
+        level-normalizer's job; neither should move the score much."""
+        x = self._speech_like()
+        base = metrics.pesq(x, x, 16000)
+        delayed = np.concatenate([np.zeros(777), x])[: x.size]
+        assert metrics.pesq(x, delayed, 16000) > base - 0.1
+        advanced = x[500:]
+        assert metrics.pesq(x, advanced, 16000) > base - 0.1
+        assert metrics.pesq(x, 0.31 * x, 16000) == pytest.approx(base, abs=0.02)
+
+    def test_enhancement_improves_score(self):
+        """A crude spectral-subtraction denoise of a noisy mixture must
+        score between the noisy input and the clean reference."""
+        x = self._speech_like()
+        rng = np.random.default_rng(2)
+        noise = rng.standard_normal(x.size)
+        noise *= np.sqrt((x ** 2).mean() / (noise ** 2).mean()) * 10 ** (-5 / 20)
+        noisy = x + noise
+        # oracle Wiener mask at 32 ms frames: the "enhanced" signal
+        frame, hop = 512, 256
+        nf = (x.size - frame) // hop + 1
+        idx = np.arange(frame)[None] + hop * np.arange(nf)[:, None]
+        win = np.hanning(frame)
+        xs = np.fft.rfft(x[idx] * win, axis=-1)
+        ns = np.fft.rfft(noisy[idx] * win, axis=-1)
+        mask = np.abs(xs) ** 2 / (np.abs(xs) ** 2 + np.abs(ns - xs) ** 2 + 1e-12)
+        est_frames = np.fft.irfft(ns * mask, n=frame, axis=-1) * win
+        est = np.zeros_like(x)
+        norm = np.zeros_like(x)
+        for i in range(nf):
+            est[i * hop : i * hop + frame] += est_frames[i]
+            norm[i * hop : i * hop + frame] += win ** 2
+        est /= np.maximum(norm, 1e-8)
+        p_noisy = metrics.pesq(x, noisy, 16000)
+        p_enh = metrics.pesq(x, est, 16000)
+        assert p_enh > p_noisy + 0.3, (p_noisy, p_enh)
+
+    def test_multichannel_accepted(self):
+        x = self._speech_like()
+        st = np.stack([x, x])
+        assert metrics.pesq(st, st, 16000) == pytest.approx(
+            metrics.pesq(x, x, 16000), abs=1e-9
+        )
+
+    def test_invalid_inputs_raise(self):
+        x = self._speech_like()
+        with pytest.raises(ValueError, match="8 kHz and 16 kHz"):
+            metrics.pesq(x, x, 44100)
+        with pytest.raises(ValueError, match="mode"):
+            metrics.pesq(x, x, 16000, mode="superwideband")
+        with pytest.raises(ValueError, match="too short"):
+            metrics.pesq(x[:1000], x[:1000], 16000)
