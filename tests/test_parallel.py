@@ -203,3 +203,111 @@ def test_trainer_for_deployment(tmp_path):
     w = tr.fit(v)
     assert w.shape == (129, 8)
     assert np.isfinite(w).all() and (w >= 0).all()
+
+
+class TestMultiProcess:
+    """Real multi-process distributed runtime: 2 OS processes × 2 virtual
+    CPU devices joined through jax.distributed.initialize on a localhost
+    coordinator — the DCN-analogue code paths (process_allgather, multihost
+    trainer, cross-restart resume) that the in-process tests cannot reach."""
+
+    NUM_PROCESSES = 2
+
+    @staticmethod
+    def _free_port():
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    def _spawn_round(self, tmp_path, num_iterations, tag):
+        import os
+        import subprocess
+        import sys
+
+        port = self._free_port()
+        worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        # the package is imported from the repo root (not pip-installed)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        procs, outs = [], []
+        for i in range(self.NUM_PROCESSES):
+            out = str(tmp_path / f"{tag}_p{i}.npz")
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, worker,
+                        "--coordinator", f"127.0.0.1:{port}",
+                        "--num-processes", str(self.NUM_PROCESSES),
+                        "--process-id", str(i),
+                        "--ckpt-dir", str(tmp_path / "ck"),
+                        "--out", out,
+                        "--num-iterations", str(num_iterations),
+                    ],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        logs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            logs.append(stdout.decode(errors="replace"))
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"worker failed:\n{log}"
+        return [np.load(o) for o in outs]
+
+    def test_multiprocess_train_gather_resume(self, tmp_path):
+        import os
+
+        # --- round 1: fresh 6-iteration run across 2 processes ------------
+        results = self._spawn_round(tmp_path, num_iterations=6, tag="r1")
+        for r in results:
+            assert int(r["process_count"]) == self.NUM_PROCESSES
+            assert int(r["device_count"]) == 2 * self.NUM_PROCESSES
+            # gather_to_host assembled the full cross-process array
+            np.testing.assert_array_equal(r["gathered"], r["x"])
+        # both processes computed the SAME global dictionary
+        np.testing.assert_allclose(
+            results[0]["w"], results[1]["w"], rtol=1e-5, atol=1e-7
+        )
+        ck = tmp_path / "ck"
+        files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
+        assert files == ["nmf_000003.npz", "nmf_000006.npz"]
+
+        # --- round 2: simulated restart resumes at 6 and reaches 12 -------
+        results2 = self._spawn_round(tmp_path, num_iterations=12, tag="r2")
+        files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
+        assert files == [
+            "nmf_000003.npz", "nmf_000006.npz",
+            "nmf_000009.npz", "nmf_000012.npz",
+        ]
+        np.testing.assert_allclose(
+            results2[0]["w"], results2[1]["w"], rtol=1e-5, atol=1e-7
+        )
+
+        # --- cross-check vs an in-process run on an equal-dp mesh ----------
+        # same data-axis size (4) → same padding and shard-local compute;
+        # only the process boundary differs, so results must agree to
+        # float32 reduction-order tolerance.
+        from gccnmf_tpu.parallel.trainer import DistributedNMFTrainer
+
+        rng = np.random.default_rng(7)
+        v = (rng.random((48, 33)) + 0.05).astype(np.float32)
+        local = DistributedNMFTrainer(
+            mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4]),
+            dictionary_size=6, num_iterations=12, checkpoint_every=12,
+        ).fit(v)
+        np.testing.assert_allclose(
+            results2[0]["w"], local, rtol=5e-4, atol=1e-6
+        )
