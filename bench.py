@@ -10,15 +10,26 @@ as **audio-seconds processed per second per chip**, batched on one device.
 implementation (gccnmf_tpu.baselines.numpy_ref) measured on this host at
 the same configuration.
 
-Also reports streaming RT-GCC-NMF latency two ways:
+Also reports streaming RT-GCC-NMF latency three ways:
 - ``streaming_device_ms_per_block``: per-block device compute, measured by
   scanning a whole utterance in one program (the honest kernel latency);
-- ``streaming_p50_block_latency_ms``: p50 of a host-driven block loop.
-  NOTE: on this harness every *fenced* dispatch crosses the axon TPU
-  tunnel (~30 ms round trip for ANY program, even ``jit(lambda x: x*2)``),
-  so this number is tunnel-bound, not compute-bound. Throughput numbers
-  queue all repeats asynchronously and fence once, subtracting the
-  measured round trip (see _timed_loop), so they are tunnel-free.
+- ``streaming_p50_block_latency_ms``: p50 of a host-driven block loop with
+  2-block dispatch pipelining (the ``--pipeline-depth`` production path:
+  the host↔device round trip overlaps the next dispatches instead of
+  sitting on the deadline path);
+- ``streaming_unpipelined_p50_ms``: the same loop fetching every block
+  before the next dispatch. NOTE: on this harness every fenced dispatch
+  crosses the axon TPU tunnel (~25-30 ms round trip for ANY program, even
+  ``jit(lambda x: x*2)``), so this number is tunnel-bound, not
+  compute-bound. Throughput numbers queue all repeats asynchronously and
+  fence once, subtracting the measured round trip (see _timed_loop).
+
+Host-I/O offline throughput is likewise reported both ways:
+``with_host_io_audio_s_per_s`` uses the pipelined chunked ingest
+(``separate_batches``: double-buffered uploads/downloads, int16 PCM on
+the wire); ``with_host_io_serial_audio_s_per_s`` is the naive
+upload→compute→download call. Both cross the ~50-120 MB/s axon tunnel
+here, so they lower-bound a directly-attached host.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -171,7 +182,22 @@ def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     t0 = time.perf_counter()
     sep.separate_batch(batch_in, num_sources=3)  # includes up+down transfer
     host_thr = batch * stereo.shape[-1] / sr / (time.perf_counter() - t0)
-    return device_thr, host_thr
+
+    # pipelined host-I/O: separate_batches double-buffers chunks (upload of
+    # k+1 and async download of k-1 overlap chunk k's compute) and ships
+    # 16-bit PCM both ways — the production many-utterance ingest path.
+    chunks = 4
+    for _ in sep.separate_batches([batch_in], num_sources=3, io_dtype="int16"):
+        pass  # warm/compile the int16 program outside the timed region
+    t0 = time.perf_counter()
+    for _ in sep.separate_batches(
+        (batch_in for _ in range(chunks)), num_sources=3, io_dtype="int16"
+    ):
+        pass
+    piped_thr = chunks * batch * stereo.shape[-1] / sr / (
+        time.perf_counter() - t0
+    )
+    return device_thr, host_thr, piped_thr
 
 
 def bench_enhance_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
@@ -299,7 +325,7 @@ def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
     mnb = mblocks.shape[0]
     multi_rt = multi_streams * mnb * cfg.block_size / sr / m_s
 
-    # --- host-loop p50 (tunnel-dispatch bound on this harness) ------------
+    # --- host-loop p50, unpipelined (tunnel round trip on every block) ----
     state = proc.init_state(1)
     block = blocks[0]
     st, out, _ = proc.step(state, block, params)
@@ -310,7 +336,30 @@ def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
         st, out, _ = proc.step(st, block, params)
         _fence(out)
         times.append(time.perf_counter() - t0)
-    return device_ms, float(np.percentile(times, 50) * 1e3), rt_factor, multi_rt
+    unpiped_p50 = float(np.percentile(times, 50) * 1e3)
+
+    # --- host-loop p50, pipelined depth 2 (the gccnmf-realtime
+    # --pipeline-depth path: dispatch block n, async-copy, fetch block
+    # n-2's output — the round trip leaves the deadline path for 2 blocks
+    # of extra latency) -----------------------------------------------------
+    from collections import deque
+
+    st = proc.init_state(1)
+    q = deque()
+    times = []
+    for _ in range(host_steps):
+        t0 = time.perf_counter()
+        st, out, _ = proc.step(st, block, params)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        q.append(out)
+        if len(q) > 2:
+            np.asarray(q.popleft())  # the consumer's full-block fetch
+        times.append(time.perf_counter() - t0)
+    piped_p50 = float(np.percentile(times, 50) * 1e3)
+    return device_ms, piped_p50, unpiped_p50, rt_factor, multi_rt
 
 
 def main():
@@ -330,8 +379,8 @@ def main():
     batch = args.batch
     while True:
         try:
-            tpu_throughput, host_io_throughput = bench_offline_tpu(
-                stereo, sr, batch, args.repeats, args.quick
+            tpu_throughput, host_io_throughput, piped_io_throughput = (
+                bench_offline_tpu(stereo, sr, batch, args.repeats, args.quick)
             )
             break
         except Exception as e:
@@ -346,7 +395,7 @@ def main():
     online_throughput = bench_online_tpu(
         stereo, sr, min(batch, 64), args.repeats, args.quick
     )
-    device_ms, p50_ms, stream_rt, multi_rt = bench_streaming(sr)
+    device_ms, p50_ms, unpiped_p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
         quality_db = parity_db = None
@@ -371,7 +420,8 @@ def main():
             round(numpy_throughput, 2) if numpy_throughput else None
         ),
         "realtime_factor": round(tpu_throughput, 2),
-        "with_host_io_audio_s_per_s": round(host_io_throughput, 2),
+        "with_host_io_audio_s_per_s": round(piped_io_throughput, 2),
+        "with_host_io_serial_audio_s_per_s": round(host_io_throughput, 2),
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
         "online_enhancement_audio_s_per_s": round(online_throughput, 2),
         "quality_min_snr_vs_numpy_oracle_db": (
@@ -384,6 +434,7 @@ def main():
         "streaming_realtime_factor": round(stream_rt, 1),
         "streaming_64streams_aggregate_rt_factor": round(multi_rt, 1),
         "streaming_p50_block_latency_ms": round(p50_ms, 3),
+        "streaming_unpipelined_p50_ms": round(unpiped_p50_ms, 3),
         "streaming_block_deadline_ms": 32.0,
         "audio_source": source,
         "batch": batch,

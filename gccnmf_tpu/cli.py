@@ -316,6 +316,11 @@ def realtime_main(argv=None):
                          "realtime window, audioProcessor.py:109-110)")
     ap.add_argument("--realtime-pace", action="store_true",
                     help="pace blocks at the 32 ms deadline")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="blocks of dispatch pipelining: N>0 removes the "
+                         "host<->device round trip from the per-block "
+                         "deadline path at the cost of N blocks of extra "
+                         "latency (output file is identical)")
     ap.add_argument("--dictionary-file", default=None,
                     help=".npy (F, K) dictionary artifact (bypasses "
                          "pretraining; e.g. from gccnmf-pretrain --save-dir)")
@@ -340,7 +345,9 @@ def realtime_main(argv=None):
 
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
 
-    app = RealtimeGCCNMF(args.input, config=cfg)
+    app = RealtimeGCCNMF(
+        args.input, config=cfg, pipeline_depth=args.pipeline_depth
+    )
     stats = app.run(
         output_path=args.output,
         num_blocks=args.blocks,

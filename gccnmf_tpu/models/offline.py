@@ -412,8 +412,7 @@ class GCCNMFSeparator:
         est, _ = self._reconstruct(spec, coh, w, h, targets)
         return est, targets
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _separate_batch_jit(self, stereo, w0, h0, num_sources):
+    def _separate_batch_core(self, stereo, w0, h0, num_sources):
         # every stage is batch-polymorphic (and the Pallas kernels grid
         # over the batch), so no vmap — the whole path runs on f32 planes
         # with no complex64 intermediates
@@ -427,6 +426,24 @@ class GCCNMFSeparator:
             sre, sim, cre, cim, w, h, targets
         )
         return est, targets, peaks
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _separate_batch_jit(self, stereo, w0, h0, num_sources):
+        return self._separate_batch_core(stereo, w0, h0, num_sources)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _separate_batch_i16_jit(self, stereo_i16, w0, h0, num_sources):
+        """int16-in/int16-out variant for bandwidth-starved host links:
+        PCM↔float conversion happens on device, halving host↔device bytes
+        (the inputs/outputs are 16-bit WAV audio anyway, so the only delta
+        vs the f32 path is the writer's output quantization happening
+        earlier). Conversion conventions mirror utils/wav.py:30-49."""
+        stereo = stereo_i16.astype(jnp.float32) / 32768.0
+        est, targets, peaks = self._separate_batch_core(
+            stereo, w0, h0, num_sources
+        )
+        est_i16 = jnp.clip(est * 32768.0, -32768, 32767).astype(jnp.int16)
+        return est_i16, targets, peaks
 
     def separate_batch(self, stereo_batch: np.ndarray, num_sources: int | None = None):
         """Fully on-device separation of a batch ``(B, 2, n)`` (vmapped,
@@ -458,6 +475,85 @@ class GCCNMFSeparator:
                 short.size, int(short[0]), num_sources,
             )
         return np.asarray(est), np.asarray(targets)
+
+    def separate_batches(
+        self,
+        batches,
+        num_sources: int | None = None,
+        io_dtype: str = "float32",
+    ):
+        """Pipelined separation over an iterable of ``(B, 2, n)`` chunks.
+
+        Yields ``(estimates, targets)`` per chunk like
+        :meth:`separate_batch`, but overlaps host↔device I/O with compute:
+        while chunk k computes, chunk k+1's upload is already in flight and
+        chunk k−1's estimates are being copied back asynchronously — the
+        standard double-buffering the serial upload→compute→download path
+        of :meth:`separate_batch` lacks. Peak throughput needs uniform
+        chunk shapes (a new shape recompiles the program).
+
+        ``io_dtype="int16"`` moves PCM↔float conversion onto the device and
+        ships 16-bit samples both ways — half the bytes on the host link;
+        the estimates come back quantized exactly as
+        :func:`gccnmf_tpu.utils.wav.write_wav` would quantize them
+        (utils/wav.py:41-49) and are returned as float32 in [-1, 1).
+        """
+        import jax as _jax
+
+        cfg = self.config
+        num_sources = cfg.num_sources if num_sources is None else num_sources
+        if not num_sources:
+            raise ValueError("separate_batches needs a fixed num_sources")
+        if io_dtype not in ("float32", "int16"):
+            raise ValueError(f"io_dtype must be float32 or int16: {io_dtype}")
+        run = (
+            self._separate_batch_i16_jit
+            if io_dtype == "int16"
+            else self._separate_batch_jit
+        )
+
+        init_cache: dict = {}
+
+        def inits(b: int, n: int):
+            key = (b, n)
+            if key not in init_cache:
+                t = stft_ops.num_frames(n, cfg.window_size, cfg.hop_size)
+                w0, h0 = nmf.nmf_init_numpy(
+                    cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon
+                )
+                init_cache[key] = (
+                    jnp.broadcast_to(jnp.asarray(w0), (b,) + w0.shape),
+                    jnp.broadcast_to(jnp.asarray(h0), (b,) + h0.shape),
+                )
+            return init_cache[key]
+
+        def materialize(pending):
+            est_dev, targets_dev = pending
+            est = np.asarray(est_dev)
+            if io_dtype == "int16":
+                est = est.astype(np.float32) / 32768.0
+            return est, np.asarray(targets_dev)
+
+        prev = None
+        for chunk in batches:
+            chunk = np.asarray(chunk)
+            if io_dtype == "int16" and chunk.dtype != np.int16:
+                chunk = np.clip(
+                    chunk.astype(np.float32) * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            w0b, h0b = inits(chunk.shape[0], chunk.shape[-1])
+            dev_in = _jax.device_put(chunk)  # async upload
+            est, targets, _ = run(dev_in, w0b, h0b, num_sources)
+            try:
+                est.copy_to_host_async()
+                targets.copy_to_host_async()
+            except Exception:  # backends without async copy: fetch later
+                pass
+            if prev is not None:
+                yield materialize(prev)
+            prev = (est, targets)
+        if prev is not None:
+            yield materialize(prev)
 
 
 class GCCNMFEnhancer:

@@ -61,7 +61,18 @@ class RealtimeGCCNMF:
         config_path: str | None = None,
         config: GCCNMFConfig | None = None,
         dictionaries: dict | None = None,
+        pipeline_depth: int = 0,
     ):
+        """``pipeline_depth``: number of blocks the output is allowed to lag
+        dispatch. 0 (default) fetches each block's output before the next
+        dispatch — one full host↔device round trip on the deadline path per
+        block. N>0 dispatches block n, starts an async device→host copy,
+        and returns block n−N's (already-copied) output — the round trip
+        leaves the deadline path entirely at the price of N blocks of extra
+        latency (N·32 ms at the reference geometry). The reference pays a
+        comparable price with its fixed 2-block OLA emission delay
+        (utils.py:116) plus the Event-handshake round trip
+        (audioProcessor.py:118-122)."""
         self.config = config or load_config(config_path, audio_path=audio_path)
         cfg = self.config
         self.audio_path = audio_path or cfg.audio_path
@@ -82,6 +93,10 @@ class RealtimeGCCNMF:
         )
         self._processor: RTGCCNMFProcessor | None = None
         self._state = None
+        if pipeline_depth < 0:
+            raise ValueError("pipeline_depth must be >= 0")
+        self.pipeline_depth = pipeline_depth
+        self._inflight: deque = deque()  # device outputs awaiting fetch
         # serializes structural engine swaps (set_dictionary, called from a
         # GUI thread) against the audio thread's process_block — without it
         # the pump can observe _processor/_state mid-rebuild (None)
@@ -261,8 +276,13 @@ class RealtimeGCCNMF:
         """(min_s, max_s, mean_s, count) over the recent telemetry window."""
         return self._block_times.stats()
 
-    def process_block(self, block: np.ndarray) -> np.ndarray:
+    def process_block(self, block: np.ndarray) -> np.ndarray | None:
         """Process one (C, block_size) block through the engine.
+
+        With ``pipeline_depth == 0`` returns this block's output. With
+        ``pipeline_depth == N`` returns the output of the block submitted N
+        calls ago (``None`` while the pipeline fills); call :meth:`flush`
+        after the last block to drain the tail.
 
         Thread-safe against :meth:`set_dictionary` (the GUI's structural
         slow path); the uncontended lock cost is nanoseconds next to the
@@ -279,10 +299,29 @@ class RealtimeGCCNMF:
             # the mask width changes, and a stale old-width item appended
             # after its clear would crash the next histories drain
             self._pending_telemetry.append(telemetry)
-        out_np = np.asarray(out[0])
+            if self.pipeline_depth:
+                try:
+                    out.copy_to_host_async()
+                except Exception:  # backends without async copy: fetch later
+                    pass
+                self._inflight.append(out)
+                ready = (
+                    self._inflight.popleft()
+                    if len(self._inflight) > self.pipeline_depth
+                    else None
+                )
+            else:
+                ready = out
+        out_np = np.asarray(ready[0]) if ready is not None else None
         self._block_times.record(time.perf_counter() - t0)
         self._log_block_times()
         return out_np
+
+    def flush(self) -> list[np.ndarray]:
+        """Fetch the outputs still in the dispatch pipeline (oldest first)."""
+        with self._engine_lock:
+            pending, self._inflight = list(self._inflight), deque()
+        return [np.asarray(out[0]) for out in pending]
 
     def run(
         self,
@@ -312,11 +351,16 @@ class RealtimeGCCNMF:
             t0 = time.perf_counter()
             out = self.process_block(block)
             times.append(time.perf_counter() - t0)
-            if sink is not None:
+            if sink is not None and out is not None:
                 sink.write(out)
             count += 1
             if num_blocks is not None and count >= num_blocks:
                 break
+        # drain the dispatch pipeline so the sink holds every block's output
+        # (the file is then bit-identical to an unpipelined run)
+        for out in self.flush():
+            if sink is not None:
+                sink.write(out)
 
         stats = dict(
             blocks=count,

@@ -69,12 +69,19 @@ class StreamServer:
         config: StreamConfig = StreamConfig(),
         max_streams: int = 8,
         mesh=None,
+        pipeline_depth: int = 0,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         the slot batch (state, params, blocks) is sharded across it, scaling
         tenancy across a host's chips over ICI with zero per-tick
         collectives (the step is slot-local by construction). max_streams
-        must be a multiple of the data-axis size."""
+        must be a multiple of the data-axis size.
+
+        ``pipeline_depth``: N>0 makes :meth:`process` return the outputs of
+        the tick submitted N calls ago (empty dict while the pipeline
+        fills; :meth:`flush` drains the tail) — the per-tick host↔device
+        round trip moves off the tick deadline path for N blocks of extra
+        serving latency."""
         self.processor = RTGCCNMFProcessor(w, config)
         self.config = config
         self.max_streams = max_streams
@@ -101,6 +108,11 @@ class StreamServer:
         # is exactly one block upload and one output download
         self._params_cache: StreamParams | None = None
         self._pending_telemetry = None
+        if pipeline_depth < 0:
+            raise ValueError("pipeline_depth must be >= 0")
+        self.pipeline_depth = pipeline_depth
+        # (device_out, {stream_id: slot} at dispatch time) awaiting fetch
+        self._inflight: list = []
 
     def _place(self, tree):
         """Shard every leaf's leading slot axis over the mesh (no-op
@@ -202,7 +214,9 @@ class StreamServer:
         Streams without a submitted block this tick receive silence (their
         OLA/localization state still advances, preserving timing). Unknown
         ids raise. Returns each submitted stream's enhanced block plus its
-        current telemetry under ``server.telemetry[stream_id]``.
+        current telemetry under ``server.telemetry[stream_id]`` — or, with
+        ``pipeline_depth`` N>0, the outputs of the tick N calls ago (the
+        empty dict while the pipeline fills).
         """
         cfg = self.config
         batch = np.zeros(
@@ -217,13 +231,35 @@ class StreamServer:
         )
         self._state = state
         self._blocks_processed += 1
-        out_np = np.asarray(out)
         # keep telemetry on device; materialize only if someone reads it
         self._pending_telemetry = (
             dict(self._ids),
             telemetry["target_tdoa_index"],
         )
-        return {sid: out_np[self._ids[sid]] for sid in blocks}
+        if self.pipeline_depth:
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            # ids are recorded at dispatch time: a stream closed (or its
+            # slot re-tenanted) before its output surfaces still gets its
+            # own audio back
+            self._inflight.append((out, {s: self._ids[s] for s in blocks}))
+            if len(self._inflight) <= self.pipeline_depth:
+                return {}
+            out, submitted = self._inflight.pop(0)
+        else:
+            submitted = {s: self._ids[s] for s in blocks}
+        out_np = np.asarray(out)
+        return {sid: out_np[slot] for sid, slot in submitted.items()}
+
+    def flush(self) -> list[dict[int, np.ndarray]]:
+        """Drain pipelined ticks (oldest first) after the last submit."""
+        pending, self._inflight = self._inflight, []
+        return [
+            {sid: np.asarray(out)[slot] for sid, slot in submitted.items()}
+            for out, submitted in pending
+        ]
 
     @property
     def telemetry(self) -> dict[int, dict]:

@@ -322,3 +322,51 @@ class TestCheckpoint:
             checkpoint.load_nmf_state(
                 path, expect_meta=dict(sparsity_alpha=0.5, v_shape=[40, 33])
             )
+
+
+class TestPipelinedApp:
+    def _make_app(self, tmp_path, stereo_signal, depth):
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "mix.wav")
+        wavio.write_wav(mix, path, sr)
+        rng = np.random.default_rng(0)
+        w = rng.random((513, 16)).astype(np.float32) + 1e-3
+        cfg = load_config(None, dictionary_size=16)
+        return RealtimeGCCNMF(
+            path, config=cfg, dictionaries={"Pretrained": {16: w}},
+            pipeline_depth=depth,
+        )
+
+    def test_pipelined_output_file_identical(self, tmp_path, stereo_signal):
+        """Dispatch pipelining shifts WHEN outputs surface, never WHAT they
+        are: the written file must be bit-identical to an unpipelined run."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        out0 = str(tmp_path / "o0.wav")
+        out2 = str(tmp_path / "o2.wav")
+        app0 = self._make_app(tmp_path, stereo_signal, depth=0)
+        app2 = self._make_app(tmp_path, stereo_signal, depth=2)
+        s0 = app0.run(output_path=out0, num_blocks=10)
+        s2 = app2.run(output_path=out2, num_blocks=10)
+        assert s0["blocks"] == s2["blocks"] == 10
+        a, _ = wavio.read_wav(out0)
+        b, _ = wavio.read_wav(out2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_process_block_contract(self, tmp_path, stereo_signal):
+        app = self._make_app(tmp_path, stereo_signal, depth=1)
+        block = np.zeros((2, app.config.block_size), np.float32)
+        assert app.process_block(block) is None  # pipeline filling
+        out = app.process_block(block)
+        assert out is not None and out.shape == (2, app.config.block_size)
+        tail = app.flush()
+        assert len(tail) == 1 and tail[0].shape == (2, app.config.block_size)
+        assert app.flush() == []
+
+    def test_negative_depth_rejected(self, tmp_path, stereo_signal):
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            self._make_app(tmp_path, stereo_signal, depth=-1)

@@ -217,3 +217,41 @@ def test_mesh_sharded_server_rejects_bad_tenancy(w, cfg):
     mesh = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="multiple of the data-axis"):
         StreamServer(w, cfg, max_streams=6, mesh=mesh)
+
+
+def test_pipelined_matches_unpipelined(w, cfg):
+    """pipeline_depth=2 must return exactly the same per-stream audio, two
+    ticks late, with flush() draining the tail."""
+    srv0 = StreamServer(w, cfg, max_streams=4)
+    srv2 = StreamServer(w, cfg, max_streams=4, pipeline_depth=2)
+    sid0 = srv0.open_stream()
+    sid2 = srv2.open_stream()
+    blocks = _signal(3, 8, cfg)
+
+    expected = [srv0.process({sid0: b})[sid0] for b in blocks]
+    got = []
+    for b in blocks:
+        out = srv2.process({sid2: b})
+        if out:
+            got.append(out[sid2])
+    assert len(got) == 6  # 8 submitted, 2 still in flight
+    for tail in srv2.flush():
+        got.append(tail[sid2])
+    assert len(got) == 8
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=1e-6)
+
+
+def test_pipelined_close_still_returns_inflight_output(w, cfg):
+    """A stream closed (and its slot re-tenanted) while its tick is still
+    in the pipeline must get its own audio back, not the new tenant's."""
+    srv = StreamServer(w, cfg, max_streams=1, pipeline_depth=1)
+    sid_a = srv.open_stream()
+    block = _signal(4, 1, cfg)[0]
+    assert srv.process({sid_a: block}) == {}
+    srv.close_stream(sid_a)
+    sid_b = srv.open_stream()
+    out = srv.process({sid_b: np.zeros_like(block)})
+    assert set(out) == {sid_a}  # tick 0's output, attributed to A
+    tail = srv.flush()
+    assert len(tail) == 1 and set(tail[0]) == {sid_b}
