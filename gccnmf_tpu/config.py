@@ -42,6 +42,11 @@ class GCCNMFConfig:
     target_tdoa_noise_floor: float = 0.0
     localization_enabled: bool = True
     localization_window_size: int = 6
+    # "window" (generalized-Gaussian soft mask, reference
+    # TARGET_MODE_WINDOW_FUNCTION=2) or "boxcar" (TARGET_MODE_BOXCAR=0);
+    # the reference's integer constants are accepted. TARGET_MODE_MULTIPLE
+    # is a documented non-port (PARITY.md).
+    target_mode: str = "window"
 
     # [Audio]
     num_channels: int = 2
@@ -88,6 +93,7 @@ _OPTION_MAP = {
     "targetTDOANoiseFloor": "target_tdoa_noise_floor",
     "localizationEnabled": "localization_enabled",
     "localizationWindowSize": "localization_window_size",
+    "targetMode": "target_mode",
     "numChannels": "num_channels",
     "sampleRate": "sample_rate",
     "deviceIndex": "device_index",

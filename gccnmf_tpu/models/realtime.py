@@ -42,7 +42,10 @@ import numpy as np
 from gccnmf_tpu.ops import gcc, masks, stft as stft_ops
 from gccnmf_tpu.ops import windows as win_ops
 
-__all__ = ["StreamConfig", "StreamParams", "StreamState", "RTGCCNMFProcessor"]
+__all__ = [
+    "StreamConfig", "StreamParams", "StreamState", "RTGCCNMFProcessor",
+    "parse_target_mode",
+]
 
 from gccnmf_tpu.ops import xprec as _xprec
 
@@ -52,6 +55,28 @@ def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
 
 TARGET_MODE_BOXCAR = 0
 TARGET_MODE_WINDOW_FUNCTION = 2
+
+
+def parse_target_mode(value) -> int:
+    """Normalize a target-mode spec: "window"/"boxcar" names or the
+    reference's integer constants (gccNMFProcessor.py:35-37).
+    TARGET_MODE_MULTIPLE (1) is a documented non-port (PARITY.md)."""
+    key = str(value).strip().lower()
+    modes = {
+        "boxcar": TARGET_MODE_BOXCAR,
+        str(TARGET_MODE_BOXCAR): TARGET_MODE_BOXCAR,
+        "window": TARGET_MODE_WINDOW_FUNCTION,
+        "window_function": TARGET_MODE_WINDOW_FUNCTION,
+        str(TARGET_MODE_WINDOW_FUNCTION): TARGET_MODE_WINDOW_FUNCTION,
+    }
+    if key in ("1", "multiple"):
+        raise ValueError(
+            "TARGET_MODE_MULTIPLE is not supported (documented non-port, "
+            "see PARITY.md); use 'window' or 'boxcar'"
+        )
+    if key not in modes:
+        raise ValueError(f"unknown target mode: {value!r}")
+    return modes[key]
 
 
 @dataclass(frozen=True)
@@ -85,6 +110,7 @@ class StreamConfig:
             mic_separation_m=cfg.microphone_separation_in_metres,
             num_channels=cfg.num_channels,
             history_length=cfg.num_tdoa_history,
+            target_mode=parse_target_mode(getattr(cfg, "target_mode", "window")),
         )
         fields.update(overrides)
         return cls(**fields)

@@ -97,6 +97,8 @@ class RealtimeGCCNMF:
             raise ValueError("pipeline_depth must be >= 0")
         self.pipeline_depth = pipeline_depth
         self._inflight: deque = deque()  # device outputs awaiting fetch
+        # (old_state, keep_localization) to migrate into the next engine
+        self._carry_state: tuple | None = None
         # serializes structural engine swaps (set_dictionary, called from a
         # GUI thread) against the audio thread's process_block — without it
         # the pump can observe _processor/_state mid-rebuild (None)
@@ -167,8 +169,36 @@ class RealtimeGCCNMF:
             self._processor = RTGCCNMFProcessor(
                 self._get_dictionary(), StreamConfig.from_app_config(cfg)
             )
-            self._state = self._processor.init_state(1)
+            fresh = self._processor.init_state(1)
+            if self._carry_state is not None:
+                old_state, keep_localization = self._carry_state
+                self._carry_state = None
+                fresh = self._migrate_state(fresh, old_state, keep_localization)
+            self._state = fresh
         return self._processor
+
+    @staticmethod
+    def _migrate_state(fresh, old, keep_localization: bool):
+        """Carry compatible state across a structural engine rebuild.
+
+        Audio-path leaves (input carry, OLA accumulator, delay FIFO) are
+        preserved whenever their shapes match, so a mid-stream rebuild does
+        not open an audible gap; localization leaves (GCC-PHAT history,
+        target index) are only meaningful when the TDOA grid is unchanged
+        (same num_tdoas AND mic separation — the grid spans ±d/c, so old
+        indexes point elsewhere after a geometry change). The reference
+        resets everything on these changes (gccNMFProcessor.py:157->233)."""
+        leaves = fresh._asdict()
+        old_leaves = old._asdict()
+        keys = ["carry_in", "ola_acc", "delay_buf"]
+        if keep_localization:
+            keys += ["gcc_history", "hist_count", "target_idx"]
+        for k in keys:
+            if old_leaves[k].shape == leaves[k].shape:
+                leaves[k] = old_leaves[k]
+        from gccnmf_tpu.models.realtime import StreamState
+
+        return StreamState(**leaves)
 
     # ----------------------------------------------------- parameter control
 
@@ -210,8 +240,10 @@ class RealtimeGCCNMF:
         self.params = p
 
     def set_dictionary(self, size: int | None = None, type: str | None = None) -> None:
-        """Slow path: structural change → rebuild engine + reset state
-        (reference gccNMFProcessor.py:127-157)."""
+        """Slow path: structural change → rebuild engine
+        (reference gccNMFProcessor.py:127-157). OLA/localization state is
+        carried over (shapes are unaffected by the dictionary), so the swap
+        is gap-free mid-stream — the reference resets instead."""
         with self._engine_lock:
             if size is not None:
                 self.dictionary_size = size
@@ -222,7 +254,98 @@ class RealtimeGCCNMF:
                 self._pending_telemetry.clear()  # old-size masks are stale
             if type is not None:
                 self.dictionary_type = type
+            if self._state is not None:
+                self._carry_state = (self._state, True)
             self._processor = None  # lazy rebuild on next block
+            self._state = None
+
+    def set_num_tdoas(self, num_tdoas: int) -> None:
+        """Structural: new TDOA grid resolution (reference structural-reset
+        list, gccNMFProcessor.py:131). Audio state survives; localization
+        history/target reset (indexes are grid-relative); the target window
+        center is re-centered on the new grid."""
+        self._reconfigure(num_tdoas=int(num_tdoas))
+
+    def set_mic_separation(self, metres: float) -> None:
+        """Structural: new microphone geometry → new steering matrix. Audio
+        state survives; localization state resets (the grid spans ±d/c, so
+        history under the old d is meaningless)."""
+        self._reconfigure(microphone_separation_in_metres=float(metres))
+
+    def set_target_mode(self, mode) -> None:
+        """Structural: boxcar vs generalized-Gaussian coefficient mask
+        (reference TARGET_MODE_* constants). All state survives — only the
+        mask function changes."""
+        from gccnmf_tpu.models.realtime import parse_target_mode
+
+        parse_target_mode(mode)  # validate before committing
+        self._reconfigure(target_mode=str(mode))
+
+    def set_block_geometry(
+        self,
+        block_size: int | None = None,
+        window_size: int | None = None,
+        hop_size: int | None = None,
+    ) -> None:
+        """Structural: new STFT/block geometry. Everything rebuilds (every
+        state shape depends on these); compatible leaves — e.g. the OLA
+        accumulator when only the hop changes within the same window — are
+        still carried."""
+        changes = {
+            k: int(v)
+            for k, v in dict(
+                block_size=block_size, window_size=window_size, hop_size=hop_size
+            ).items()
+            if v is not None
+        }
+        if not changes:
+            return
+        self._reconfigure(**changes)
+
+    def _reconfigure(self, **changes) -> None:
+        """Apply structural config changes and schedule an engine rebuild
+        that preserves whatever state remains meaningful (the analogue of
+        the reference's reset()-on-structural-param path,
+        gccNMFProcessor.py:127-157, but state-preserving where possible)."""
+        import jax.numpy as jnp
+
+        with self._engine_lock:
+            old_cfg = self.config
+            self.config = cfg = dc_replace(old_cfg, **changes)
+            # localization state is grid-relative: keep it only if the grid
+            # (resolution AND physical span) is unchanged
+            keep_localization = (
+                cfg.num_tdoas == old_cfg.num_tdoas
+                and cfg.microphone_separation_in_metres
+                == old_cfg.microphone_separation_in_metres
+            )
+            stale_telemetry = False
+            if cfg.num_tdoas != old_cfg.num_tdoas:
+                self._histories["gcc_phat"] = CircularBuffer(
+                    cfg.num_tdoas, cfg.num_tdoa_history
+                )
+                # the manual target window center is grid-relative too
+                self.params = self.params._replace(
+                    target_tdoa_index=jnp.float32(cfg.num_tdoas / 2.0)
+                )
+                stale_telemetry = True
+            if cfg.num_freq != old_cfg.num_freq:
+                for key in ("input_spectrogram", "output_spectrogram"):
+                    self._histories[key] = CircularBuffer(
+                        cfg.num_freq, cfg.num_spectrogram_history
+                    )
+                stale_telemetry = True
+                # dictionaries are per-window-size ((F, K) rows = num_freq):
+                # drop the cached bank so the next block re-resolves for the
+                # new F (the reference pretrains per windowSize the same
+                # way, gccNMFPretraining.py:43-58). An explicit
+                # dictionary_file keeps its F validation and will raise.
+                self._dictionaries = None
+            if stale_telemetry:
+                self._pending_telemetry.clear()
+            if self._state is not None:
+                self._carry_state = (self._state, keep_localization)
+            self._processor = None
             self._state = None
 
     # ------------------------------------------------------------------ run

@@ -70,3 +70,24 @@ def test_frozen():
     cfg = GCCNMFConfig()
     with pytest.raises(Exception):
         cfg.num_tdoas = 1
+
+
+def test_target_mode_option(tmp_path):
+    """targetMode: reference integer constants and names both parse; the
+    unsupported MULTIPLE mode fails fast at engine construction."""
+    from gccnmf_tpu.config import load_config
+    from gccnmf_tpu.models.realtime import (
+        StreamConfig, TARGET_MODE_BOXCAR, TARGET_MODE_WINDOW_FUNCTION,
+        parse_target_mode,
+    )
+
+    ini = tmp_path / "c.ini"
+    ini.write_text("[TDOA]\ntargetMode = 0\n")
+    cfg = load_config(str(ini))
+    assert StreamConfig.from_app_config(cfg).target_mode == TARGET_MODE_BOXCAR
+    assert parse_target_mode("window") == TARGET_MODE_WINDOW_FUNCTION
+    assert parse_target_mode(2) == TARGET_MODE_WINDOW_FUNCTION
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MULTIPLE"):
+        parse_target_mode(1)

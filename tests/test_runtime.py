@@ -370,3 +370,136 @@ class TestPipelinedApp:
     def test_negative_depth_rejected(self, tmp_path, stereo_signal):
         with pytest.raises(ValueError, match="pipeline_depth"):
             self._make_app(tmp_path, stereo_signal, depth=-1)
+
+
+class TestStructuralReconfig:
+    """Mid-stream structural changes (reference structural-reset list,
+    gccNMFProcessor.py:127-157): each rebuild must preserve the audio-path
+    state so the output stream has no gap beyond one block."""
+
+    def _app(self, tmp_path, depth=0):
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mix = np.stack([tone, tone])
+        path = str(tmp_path / "tone.wav")
+        wavio.write_wav(mix, path, sr)
+        rng = np.random.default_rng(0)
+        w = rng.random((513, 16)).astype(np.float32) + 1e-3
+        cfg = load_config(None, dictionary_size=16)
+        app = RealtimeGCCNMF(
+            path, config=cfg, dictionaries={"Pretrained": {16: w}},
+            pipeline_depth=depth,
+        )
+        app.set_separation_enabled(False)  # passthrough: OLA gaps show as RMS dips
+        return app, mix
+
+    @staticmethod
+    def _rms(x):
+        return float(np.sqrt(np.mean(np.asarray(x, np.float64) ** 2)))
+
+    def _stream_with_change(self, app, mix, change, blocks=14, change_at=7):
+        bs = app.config.block_size
+        outs = []
+        for i in range(blocks):
+            if i == change_at:
+                change(app)
+            block = mix[:, i * bs : (i + 1) * bs]
+            outs.append(app.process_block(block))
+        return outs
+
+    def _assert_continuous(self, outs, change_at=7):
+        # skip the initial OLA windup; every block after the change except
+        # at most one transition block must keep full tone energy
+        steady = self._rms(outs[change_at - 1])
+        dips = [
+            i for i in range(change_at, len(outs))
+            if self._rms(outs[i]) < steady * 0.7
+        ]
+        assert len(dips) <= 1, f"audio gap after reconfig: dips at {dips}"
+
+    def test_mic_separation_midstream(self, tmp_path):
+        app, mix = self._app(tmp_path)
+        outs = self._stream_with_change(
+            app, mix, lambda a: a.set_mic_separation(0.3)
+        )
+        assert app.processor.config.mic_separation_m == 0.3
+        self._assert_continuous(outs)
+        # localization state was reset (grid changed)
+        assert app.histories["gcc_phat"].num_values > 0
+
+    def test_num_tdoas_midstream(self, tmp_path):
+        app, mix = self._app(tmp_path)
+        outs = self._stream_with_change(app, mix, lambda a: a.set_num_tdoas(96))
+        assert app.processor.config.num_tdoas == 96
+        assert float(np.asarray(app.params.target_tdoa_index)) == 48.0
+        self._assert_continuous(outs)
+        h = app.histories["gcc_phat"]
+        assert h._values.shape[1] == 96 and h.num_values > 0
+
+    def test_target_mode_midstream(self, tmp_path):
+        from gccnmf_tpu.models.realtime import TARGET_MODE_BOXCAR
+
+        app, mix = self._app(tmp_path)
+        outs = self._stream_with_change(
+            app, mix, lambda a: a.set_target_mode("boxcar")
+        )
+        assert app.processor.config.target_mode == TARGET_MODE_BOXCAR
+        self._assert_continuous(outs)
+
+    def test_block_geometry_midstream(self, tmp_path):
+        app, mix = self._app(tmp_path)
+        bs = app.config.block_size
+        for i in range(4):
+            app.process_block(mix[:, i * bs : (i + 1) * bs])
+        app.set_block_geometry(window_size=512, hop_size=256)
+        assert app.config.num_freq == 257
+        # the old (513, K) bank was dropped; provide the new-F dictionary
+        # directly (the production path would re-pretrain for F=257)
+        assert app._dictionaries is None
+        rng = np.random.default_rng(1)
+        app._dictionaries = {
+            "Pretrained": {16: rng.random((257, 16)).astype(np.float32) + 1e-3}
+        }
+        assert app.histories["input_spectrogram"]._values.shape[1] == 257
+        out = app.process_block(mix[:, 4 * bs : 5 * bs])
+        assert out.shape == (2, bs) and np.isfinite(out).all()
+
+    def test_dictionary_swap_is_gap_free(self, tmp_path):
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mix = np.stack([tone, tone])
+        path = str(tmp_path / "tone.wav")
+        wavio.write_wav(mix, path, sr)
+        rng = np.random.default_rng(0)
+        dicts = {"Pretrained": {
+            16: rng.random((513, 16)).astype(np.float32) + 1e-3,
+            8: rng.random((513, 8)).astype(np.float32) + 1e-3,
+        }}
+        app = RealtimeGCCNMF(path, config=load_config(
+            None, dictionary_size=16, dictionary_sizes=(8, 16)
+        ), dictionaries=dicts)
+        app.set_separation_enabled(False)
+        outs = self._stream_with_change(
+            app, mix, lambda a: a.set_dictionary(size=8)
+        )
+        # passthrough output is dictionary-independent: NO dip at all
+        steady = self._rms(outs[6])
+        for i in range(7, len(outs)):
+            assert self._rms(outs[i]) > steady * 0.9, f"gap at block {i}"
+
+    def test_invalid_target_mode_rejected(self, tmp_path):
+        app, _ = self._app(tmp_path)
+        with pytest.raises(ValueError, match="MULTIPLE"):
+            app.set_target_mode("multiple")
+        with pytest.raises(ValueError, match="unknown target mode"):
+            app.set_target_mode("gaussian?")
