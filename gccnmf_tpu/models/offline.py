@@ -432,6 +432,19 @@ class GCCNMFSeparator:
         return self._separate_batch_core(stereo, w0, h0, num_sources)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _separate_batch_auto_jit(self, stereo, w0, h0, max_sources):
+        """Auto source counting on device: jitted 2-means on peak heights
+        (ops/localize.auto_count_targets) replaces the fixed top-k picker;
+        the reconstruction is identical. Returns (est, targets, counts)."""
+        sre, sim, w, h, cre, cim, ang = self._analyze_planes(stereo, w0, h0)
+        mean_ang = jax.vmap(gcc.mean_angular_spectrum)(ang)
+        targets, counts = localize.auto_count_targets(mean_ang, max_sources)
+        est = self._reconstruct_batched_planes(
+            sre, sim, cre, cim, w, h, targets
+        )
+        return est, targets, counts
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
     def _separate_batch_i16_jit(self, stereo_i16, w0, h0, num_sources):
         """int16-in/int16-out variant for bandwidth-starved host links:
         PCM↔float conversion happens on device, halving host↔device bytes
@@ -445,24 +458,40 @@ class GCCNMFSeparator:
         est_i16 = jnp.clip(est * 32768.0, -32768, 32767).astype(jnp.int16)
         return est_i16, targets, peaks
 
-    def separate_batch(self, stereo_batch: np.ndarray, num_sources: int | None = None):
-        """Fully on-device separation of a batch ``(B, 2, n)`` (vmapped,
-        device peak-picking with fixed source count — auto source counting
-        is host-side only, use :meth:`separate`). Utterances with fewer
-        angular-spectrum peaks than ``num_sources`` get duplicated targets
-        (the host path raises instead) and are reported with a warning."""
+    def separate_batch(
+        self,
+        stereo_batch: np.ndarray,
+        num_sources: int | None = None,
+        max_sources: int = 4,
+    ):
+        """Fully on-device separation of a batch ``(B, 2, n)``.
+
+        With a fixed ``num_sources`` (given here or via the config):
+        device top-k peak picking; returns ``(estimates, targets)``.
+        Utterances with fewer angular-spectrum peaks than ``num_sources``
+        get duplicated targets (the host path raises instead) and are
+        reported with a warning.
+
+        With ``num_sources=None`` (and ``config.num_sources=None``): fully
+        on-device auto source counting — a jitted fixed-iteration 2-means
+        on peak heights (the working version of the reference's broken
+        sklearn branch, gccNMFFunctions.py:105-108) — and returns
+        ``(estimates, targets, counts)`` where ``estimates[b, counts[b]:]``
+        are silent zero-mask pads (duplicates of the dominant peak) and
+        rows ``[0, counts[b])`` are the detected sources, left-to-right.
+        """
         cfg = self.config
         num_sources = cfg.num_sources if num_sources is None else num_sources
-        if not num_sources:
-            raise ValueError(
-                "separate_batch needs a fixed num_sources (auto source "
-                "counting is data-dependent; use separate() per utterance)"
-            )
         b = stereo_batch.shape[0]
         t = stft_ops.num_frames(stereo_batch.shape[-1], cfg.window_size, cfg.hop_size)
         w0, h0 = nmf.nmf_init_numpy(cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon)
         w0 = jnp.broadcast_to(jnp.asarray(w0), (b,) + w0.shape)
         h0 = jnp.broadcast_to(jnp.asarray(h0), (b,) + h0.shape)
+        if not num_sources:
+            est, targets, counts = self._separate_batch_auto_jit(
+                jnp.asarray(stereo_batch), w0, h0, max_sources
+            )
+            return np.asarray(est), np.asarray(targets), np.asarray(counts)
         est, targets, peaks = self._separate_batch_jit(
             jnp.asarray(stereo_batch), w0, h0, num_sources
         )

@@ -22,6 +22,7 @@ __all__ = [
     "local_maxima_mask",
     "top_k_peaks",
     "peak_count",
+    "auto_count_targets",
     "estimate_target_tdoa_indexes",
     "sliding_argmax_tdoa",
 ]
@@ -56,6 +57,74 @@ def top_k_peaks(a: jax.Array, k: int) -> jax.Array:
 def peak_count(a: jax.Array) -> jax.Array:
     """Number of interior local maxima along the last axis (int32)."""
     return jnp.sum(local_maxima_mask(a), axis=-1).astype(jnp.int32)
+
+
+def auto_count_targets(
+    a: jax.Array, max_sources: int, num_iterations: int = 50
+) -> tuple[jax.Array, jax.Array]:
+    """On-device auto source counting: fixed-iteration 2-means on interior
+    local-max heights (the jitted analogue of the reference's broken
+    sklearn-KMeans branch, gccNMFFunctions.py:105-108, and of the host path
+    :func:`estimate_target_tdoa_indexes`).
+
+    ``a``: angular spectrum, shape ``(..., D)``. Returns
+    ``(targets (..., max_sources) int32, counts (...,) int32)``: the
+    high-cluster peak count (clamped to ``[1, max_sources]``) and that many
+    highest peaks sorted left-to-right in positions ``[0, count)``, the
+    remaining slots filled with the dominant peak. A duplicated target's
+    attribution score column equals the original's, and the hard-mask
+    ``nanargmax`` picks the FIRST of equal columns (ops/masks.py) — so pad
+    slots produce exactly-zero masks and silent estimates; only rows
+    ``[0, count)`` carry audio.
+    """
+    mask = local_maxima_mask(a)
+    heights = jnp.where(mask, a, -jnp.inf)
+    vals, idx = jax.lax.top_k(heights, max_sources)
+    # degenerate (peakless) spectra fall back to the global argmax, like
+    # top_k_peaks
+    best = jnp.argmax(a, axis=-1).astype(idx.dtype)[..., None]
+    idx = jnp.where(jnp.isneginf(vals), best, idx)
+
+    # --- masked 1-D Lloyd's, 2 clusters, centers init = (min, max) peak ---
+    w = mask.astype(jnp.float32)
+    c_lo = jnp.min(jnp.where(mask, a, jnp.inf), axis=-1)
+    c_hi = jnp.max(heights, axis=-1)
+    # peakless rows: give both centers the global max so count clamps to 1
+    fallback = jnp.max(a, axis=-1)
+    has_peak = jnp.any(mask, axis=-1)
+    c_lo = jnp.where(has_peak, c_lo, fallback)
+    c_hi = jnp.where(has_peak, c_hi, fallback)
+
+    def body(_, centers):
+        c0, c1 = centers
+        in_hi = jnp.abs(a - c0[..., None]) > jnp.abs(a - c1[..., None])
+        w1 = w * in_hi
+        w0 = w * (1.0 - in_hi)
+        n0 = jnp.sum(w0, axis=-1)
+        n1 = jnp.sum(w1, axis=-1)
+        c0n = jnp.where(
+            n0 > 0, jnp.sum(w0 * a, axis=-1) / jnp.maximum(n0, 1.0), c0
+        )
+        c1n = jnp.where(
+            n1 > 0, jnp.sum(w1 * a, axis=-1) / jnp.maximum(n1, 1.0), c1
+        )
+        return c0n, c1n
+
+    c0, c1 = jax.lax.fori_loop(0, num_iterations, body, (c_lo, c_hi))
+    hi = jnp.maximum(c0, c1)
+    lo = jnp.minimum(c0, c1)
+    in_hi = mask & (jnp.abs(a - lo[..., None]) > jnp.abs(a - hi[..., None]))
+    counts = jnp.clip(jnp.sum(in_hi, axis=-1), 1, max_sources).astype(jnp.int32)
+
+    # positions [0, count): the count highest peaks, ascending in TDOA;
+    # positions [count, max): the dominant peak (zero-mask pads)
+    pos = jnp.arange(max_sources)
+    keep = pos < counts[..., None]
+    sentinel = a.shape[-1] + 1  # sorts after every real index
+    sorted_idx = jnp.sort(jnp.where(keep, idx, sentinel), axis=-1)
+    dominant = idx[..., :1]
+    targets = jnp.where(keep, sorted_idx, dominant).astype(jnp.int32)
+    return targets, counts
 
 
 def _two_means_1d(values: np.ndarray, num_iterations: int = 50):

@@ -263,3 +263,77 @@ class TestPipelinedBatches:
             list(GCCNMFSeparator(
                 OfflineConfig(sample_rate=sr, num_sources=None)
             ).separate_batches([np.stack([mix])]))
+
+
+class TestAutoSourceCounting:
+    def test_auto_count_matches_host_two_means(self, stereo_signal):
+        """The jitted 2-means (device) must agree with the host auto-count
+        path on a real angular spectrum."""
+        import jax.numpy as jnp
+
+        from gccnmf_tpu.ops import gcc, localize, stft as stft_ops
+        from gccnmf_tpu.ops import windows as win_ops
+
+        mix, sr = stereo_signal
+        win = win_ops.hann_symmetric(1024)
+        spec = stft_ops.stft(jnp.asarray(mix), win, 128, conjugate=True)
+        coh = gcc.coherence(spec)
+        cs = gcc.steering_cos_sin(float(sr), 513, 1.0, 128)
+        ang = gcc.angular_spectrogram(coh, *cs)
+        mean_ang = np.asarray(gcc.mean_angular_spectrum(ang))
+
+        host = localize.estimate_target_tdoa_indexes(mean_ang, None)
+        targets, counts = localize.auto_count_targets(
+            jnp.asarray(mean_ang), max_sources=6
+        )
+        count = int(counts)
+        assert count == len(host)
+        assert list(np.asarray(targets)[:count]) == host
+        # pads all duplicate the dominant peak
+        dominant = mean_ang.argmax()
+        assert all(int(x) == dominant for x in np.asarray(targets)[count:])
+
+    def test_auto_count_synthetic_heights(self):
+        """Two tall + three tiny peaks -> count 2 regardless of max_sources."""
+        import jax.numpy as jnp
+
+        from gccnmf_tpu.ops import localize
+
+        a = np.zeros(64, np.float32)
+        for i, h in [(10, 5.0), (40, 4.0), (20, 0.2), (30, 0.25), (50, 0.15)]:
+            a[i] = h
+        targets, counts = localize.auto_count_targets(jnp.asarray(a), 4)
+        assert int(counts) == 2
+        assert list(np.asarray(targets)[:2]) == [10, 40]
+        # batch-polymorphic: a peakless (monotonic) row clamps to count 1
+        ramp = np.linspace(0, 1, 64, dtype=np.float32)
+        batch = np.stack([a, ramp])
+        targets_b, counts_b = localize.auto_count_targets(jnp.asarray(batch), 4)
+        assert list(np.asarray(counts_b)) == [2, 1]
+        assert int(np.asarray(targets_b)[1, 0]) == 63  # global argmax fallback
+
+    def test_separate_batch_auto(self, stereo_signal):
+        """num_sources=None end to end: counts match the host auto path,
+        detected rows match the fixed-count run, pad rows are silent."""
+        mix, sr = stereo_signal
+        cfg = OfflineConfig(
+            dictionary_size=32, num_iterations=10, num_sources=None,
+            sample_rate=sr,
+        )
+        sep = GCCNMFSeparator(cfg)
+        est, targets, counts = sep.separate_batch(
+            np.stack([mix, mix]), max_sources=6
+        )
+        assert est.shape[:2] == (2, 6) and counts.shape == (2,)
+        assert counts[0] == counts[1]
+        c = int(counts[0])
+        assert 1 <= c <= 6
+        # host auto path agrees on the count
+        host = sep.separate(mix, num_sources=None)
+        assert len(host["target_tdoa_indexes"]) == c
+        assert list(targets[0][:c]) == host["target_tdoa_indexes"]
+        # pad rows carry (near-)zero audio; real rows carry energy
+        for row in range(c):
+            assert float((est[0, row] ** 2).sum()) > 0
+        for row in range(c, 6):
+            assert float((est[0, row] ** 2).sum()) == 0.0
