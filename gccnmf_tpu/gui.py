@@ -1,13 +1,26 @@
-"""Interactive realtime GUI (tkinter + matplotlib).
+"""Interactive realtime GUI (matplotlib view + tkinter shell).
 
 Functional parity with the reference's Qt/pyqtgraph window
 (reference: gccNMF/realtime/gccNMFInterface.py:40-529): rolling
 input/output spectrograms, GCC-PHAT angular waterfall with the localized
-TDOA track, dictionary image, coefficient-mask waterfall, mask-window
-sliders (center/width/shape/floor → target TDOA/ε/β/noise floor), a
+TDOA track, centroid-ordered dictionary image, per-dictionary-size
+coefficient-mask waterfalls, the mask-function editor — a draggable
+target-TDOA region with the generalized-Gaussian window curve drawn over
+the live mean-GCC-PHAT plot, two-way-bound to center/width/shape/floor
+sliders (gccNMFInterface.py:256-274, 469-477, 534-578) — a
 dictionary-size selector, localization and separation toggles, and
-play/pause — rebuilt on tkinter + matplotlib because Qt/pyqtgraph are not
+play/pause. Rebuilt on tkinter + matplotlib because Qt/pyqtgraph are not
 in this image.
+
+The module is split so widget logic runs without a display:
+
+- :class:`gccnmf_tpu.gui_model.MaskEditorModel` — pure-NumPy parameter
+  mappings (slider ↔ (μ, α, β, floor) ↔ region);
+- :class:`GCCNMFFigureView` — all matplotlib rendering and the
+  mouse-drag region editor, backend-agnostic (tests drive it on Agg with
+  synthetic mouse events);
+- :class:`RealtimeGCCNMFWindow` — the thin Tk shell: canvas, sliders,
+  buttons, keyboard shortcuts, and the audio pump thread.
 
 Architecture mirrors the headless app exactly: a worker thread pumps
 blocks through :class:`gccnmf_tpu.realtime.app.RealtimeGCCNMF` (device
@@ -26,15 +39,263 @@ import threading
 
 import numpy as np
 
+from gccnmf_tpu.gui_model import (
+    MaskEditorModel,
+    normalized_mean_gcc,
+    visualized_dictionary,
+)
+
 logger = logging.getLogger(__name__)
 
-__all__ = ["RealtimeGCCNMFWindow", "run_gui"]
+__all__ = ["GCCNMFFigureView", "RealtimeGCCNMFWindow", "run_gui"]
 
 _REFRESH_MS = 100  # reference uses a 100 ms plot timer (gccNMFInterface.py:69)
 
+#: hit radius (fraction of the TDOA grid) for grabbing a region edge
+_EDGE_GRAB_FRAC = 0.02
+
+
+class GCCNMFFigureView:
+    """Matplotlib rendering + mask-editor interaction for a realtime app.
+
+    Backend-agnostic: give it any ``matplotlib.figure.Figure`` (Agg in
+    tests, TkAgg in the window) and it owns the six panels, the
+    mask-function editor overlay, and the mouse handlers for dragging the
+    target-TDOA region (move by grabbing the body, resize by grabbing an
+    edge — the LinearRegionItem interaction of the reference,
+    gccNMFInterface.py:268-270).
+
+    ``on_params_changed(model)`` fires whenever the model changed from the
+    figure side (drag or localization follow) so the shell can sync its
+    sliders; pushes to the engine go through ``app.set_target_window``.
+    """
+
+    def __init__(self, fig, app, on_params_changed=None):
+        self.fig = fig
+        self.app = app
+        self.on_params_changed = on_params_changed
+        cfg = app.config
+
+        p = app.params
+        self.model = MaskEditorModel(cfg.num_tdoas)
+        self.model.set_tdoa(float(np.asarray(p.target_tdoa_index)))
+        self.model.set_window_width(float(np.asarray(p.target_epsilon)))
+        self.model.set_beta(float(np.asarray(p.target_beta)))
+        self.model.set_noise_floor(float(np.asarray(p.noise_floor)))
+
+        grid = fig.add_gridspec(2, 3)
+        self.ax_in = fig.add_subplot(grid[0, 0])
+        self.ax_out = fig.add_subplot(grid[0, 1])
+        self.ax_dict = fig.add_subplot(grid[0, 2])
+        self.ax_gcc = fig.add_subplot(grid[1, 0])
+        self.ax_curve = fig.add_subplot(grid[1, 1])
+        self.ax_mask = fig.add_subplot(grid[1, 2])
+        try:
+            fig.set_layout_engine("tight")
+        except Exception:  # older matplotlib
+            fig.set_tight_layout(True)
+
+        # mask-function editor panel: live mean GCC-PHAT (black), window
+        # curve (blue), draggable span, localized-TDOA marker
+        ax = self.ax_curve
+        ax.set_xlim(0, cfg.num_tdoas - 1)
+        ax.set_ylim(-0.05, 1.05)
+        ax.set_title("mean GCC-PHAT + target window", fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        (self._gcc_line,) = ax.plot([], [], color="k", linewidth=1.0)
+        (self._curve_line,) = ax.plot([], [], color="tab:blue", linewidth=2.0)
+        lo, hi = self.model.region
+        self._region_patch = ax.axvspan(lo, hi, color="tab:blue", alpha=0.18)
+        self._tdoa_marker = ax.axvline(
+            self.model.tdoa, color="r", linewidth=1.0, alpha=0.8
+        )
+        self._redraw_editor()
+
+        self._images: dict = {}
+        self._dict_cache_key = None
+        self._drag: tuple | None = None  # ("move"|"lo"|"hi", grab_x, lo0, hi0)
+        fig.canvas.mpl_connect("button_press_event", self._on_press)
+        fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
+        fig.canvas.mpl_connect("button_release_event", self._on_release)
+
+    # -------------------------------------------------------------- editing
+
+    def _localization_on(self) -> bool:
+        return bool(np.asarray(self.app.params.localization_enabled))
+
+    def set_model_params(
+        self,
+        tdoa: float | None = None,
+        width: float | None = None,
+        beta: float | None = None,
+        noise_floor: float | None = None,
+    ) -> None:
+        """Slider side of the two-way binding: update the model, push the
+        hot params to the engine, move the region/curve on the plot."""
+        if tdoa is not None:
+            self.model.set_tdoa(tdoa)
+        if width is not None:
+            self.model.set_window_width(width)
+        if beta is not None:
+            self.model.set_beta(beta)
+        if noise_floor is not None:
+            self.model.set_noise_floor(noise_floor)
+        self._push_params()
+        self._redraw_editor()
+
+    def _push_params(self) -> None:
+        self.app.set_target_window(**self.model.stream_params())
+
+    def _redraw_editor(self) -> None:
+        lo, hi = self.model.region
+        patch = self._region_patch
+        if hasattr(patch, "set_width"):  # Rectangle (matplotlib >= 3.8)
+            patch.set_x(lo)
+            patch.set_width(hi - lo)
+        else:  # Polygon (older axvspan): x of the 4 (or 5 closed) vertices
+            xy = patch.get_xy()
+            xy[:, 0] = [lo, lo, hi, hi, lo][: xy.shape[0]]
+            patch.set_xy(xy)
+        curve = self.model.curve()
+        self._curve_line.set_data(np.arange(curve.size), curve)
+        self._tdoa_marker.set_xdata([self.model.tdoa, self.model.tdoa])
+
+    def _grab_zone(self, x: float) -> str | None:
+        """Which part of the region is at x: 'lo'/'hi' edge, 'move' body."""
+        lo, hi = self.model.region
+        tol = self.model.num_tdoas * _EDGE_GRAB_FRAC
+        if abs(x - lo) <= tol:
+            return "lo"
+        if abs(x - hi) <= tol:
+            return "hi"
+        if lo < x < hi:
+            return "move"
+        return None
+
+    def _on_press(self, event) -> None:
+        if event.inaxes is not self.ax_curve or event.xdata is None:
+            return
+        zone = self._grab_zone(float(event.xdata))
+        # with online localization driving the center, the center is not
+        # user-editable (reference disables the TDOA slider,
+        # gccNMFInterface.py:515-517); edge resizes stay allowed
+        if zone == "move" and self._localization_on():
+            return
+        if zone is not None:
+            lo, hi = self.model.region
+            self._drag = (zone, float(event.xdata), lo, hi)
+
+    def _on_motion(self, event) -> None:
+        if self._drag is None or event.xdata is None:
+            return
+        if event.inaxes is not self.ax_curve:
+            return
+        zone, x0, lo0, hi0 = self._drag
+        x = float(event.xdata)
+        if zone == "move":
+            half = (hi0 - lo0) / 2.0
+            self.model.set_region(
+                (lo0 + hi0) / 2.0 + (x - x0) - half,
+                (lo0 + hi0) / 2.0 + (x - x0) + half,
+            )
+        elif zone == "lo":
+            self.model.set_region(x, hi0)
+        else:  # "hi"
+            self.model.set_region(lo0, x)
+        self._push_params()
+        self._redraw_editor()
+        if self.on_params_changed:
+            self.on_params_changed(self.model)
+
+    def _on_release(self, _event) -> None:
+        self._drag = None
+
+    # ------------------------------------------------------------ rendering
+
+    def _imshow(self, ax, key, data, cmap="magma", title=None, clim=None):
+        if key not in self._images:
+            ax.clear()
+            self._images[key] = ax.imshow(
+                data, origin="lower", aspect="auto", cmap=cmap
+            )
+            if title:
+                ax.set_title(title, fontsize=9)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        img = self._images[key]
+        if img.get_array().shape != data.shape:
+            del self._images[key]
+            return self._imshow(ax, key, data, cmap, title, clim)
+        img.set_data(data)
+        if clim is not None:
+            img.set_clim(*clim)
+        else:
+            img.set_clim(float(data.min()), float(data.max()) + 1e-9)
+
+    def refresh(self) -> None:
+        """Repaint every panel from the app's history rings (the 100 ms
+        timer body; reference updateGCCPHATPlot, gccNMFInterface.py:385-405)."""
+        app = self.app
+        h = app.histories
+        compress = lambda x: np.power(np.abs(x), 1.0 / 3.0)
+        self._imshow(
+            self.ax_in, "in", compress(h["input_spectrogram"].get_unraveled().T),
+            title="input spectrogram",
+        )
+        self._imshow(
+            self.ax_out, "out", compress(h["output_spectrogram"].get_unraveled().T),
+            title="output spectrogram",
+        )
+        self._imshow(
+            self.ax_gcc, "gcc", h["gcc_phat"].get_unraveled().T,
+            title="GCC-PHAT waterfall",
+        )
+        # the active size's waterfall; switching sizes swaps the ring and the
+        # old one keeps its history (reference per-size buffers,
+        # runRealtimeGCCNMF.py:74-81); levels pinned to [0,1] like the
+        # reference's setImage(levels=[0,1])
+        self._imshow(
+            self.ax_mask, "mask", h["coefficient_mask"].get_unraveled().T,
+            cmap="gray", title=f"coefficient mask (K={app.dictionary_size})",
+            clim=(0.0, 1.0),
+        )
+        try:
+            w = np.asarray(app.processor.w)
+        except Exception:
+            w = None
+        if w is not None:
+            key = (app.dictionary_type, app.dictionary_size, w.shape)
+            if key != self._dict_cache_key:
+                self._dict_w_img = visualized_dictionary(w)
+                self._dict_cache_key = key
+            self._imshow(
+                self.ax_dict, "dict", self._dict_w_img, cmap="gray",
+                title="dictionary W (centroid-ordered)", clim=(0.0, 1.0),
+            )
+
+        # live mean GCC-PHAT under the editor curve
+        window = int(np.asarray(app.params.localization_window))
+        curve = normalized_mean_gcc(h["gcc_phat"].get(window))
+        if curve is not None:
+            self._gcc_line.set_data(np.arange(curve.size), curve)
+
+        # online localization drives the window center: model + region +
+        # shell sliders follow the localized TDOA (reference
+        # gccNMFInterface.py:403-405)
+        if self._localization_on():
+            tdoa = h["tdoa"].get(1)
+            if tdoa.size:
+                width = self.model.window_width
+                self.model.set_tdoa(float(tdoa[-1]))
+                self.model.set_window_width(width)
+                self._redraw_editor()
+                if self.on_params_changed:
+                    self.on_params_changed(self.model)
+
 
 class RealtimeGCCNMFWindow:
-    """Tk window around a :class:`RealtimeGCCNMF` app instance."""
+    """Tk shell around a :class:`RealtimeGCCNMF` app + figure view."""
 
     def __init__(self, app, loop: bool = True):
         import tkinter as tk
@@ -52,16 +313,8 @@ class RealtimeGCCNMFWindow:
         self.root.protocol("WM_DELETE_WINDOW", self.close)
 
         fig = Figure(figsize=(11, 7), dpi=90)
-        grid = fig.add_gridspec(2, 3)
-        self.ax_in = fig.add_subplot(grid[0, 0])
-        self.ax_out = fig.add_subplot(grid[0, 1])
-        self.ax_dict = fig.add_subplot(grid[0, 2])
-        self.ax_gcc = fig.add_subplot(grid[1, 0])
-        self.ax_curve = fig.add_subplot(grid[1, 1])
-        self.ax_mask = fig.add_subplot(grid[1, 2])
-        fig.set_tight_layout(True)
-        self.fig = fig
         self.canvas = FigureCanvasTkAgg(fig, master=self.root)
+        self.view = GCCNMFFigureView(fig, app, on_params_changed=self._sync_sliders)
         self.canvas.get_tk_widget().pack(side=tk.TOP, fill=tk.BOTH, expand=1)
 
         self._build_controls(tk)
@@ -71,8 +324,7 @@ class RealtimeGCCNMFWindow:
         self.root.bind("s", lambda _e: self._toggle_check(self.sep_var,
                        lambda v: self.app.set_separation_enabled(v)))
         self.root.bind("l", lambda _e: self._toggle_check(self.loc_var,
-                       lambda v: self.app.set_localization(v)))
-        self._images = {}
+                       lambda v: self._set_localization(v)))
         self.root.after(_REFRESH_MS, self._refresh)
 
     @staticmethod
@@ -84,6 +336,7 @@ class RealtimeGCCNMFWindow:
 
     def _build_controls(self, tk):
         cfg = self.app.config
+        model = self.view.model
         bar = tk.Frame(self.root)
         bar.pack(side=tk.BOTTOM, fill=tk.X)
 
@@ -99,7 +352,7 @@ class RealtimeGCCNMFWindow:
         self.loc_var = tk.BooleanVar(value=bool(cfg.localization_enabled))
         tk.Checkbutton(
             bar, text="localization", variable=self.loc_var,
-            command=lambda: self.app.set_localization(self.loc_var.get()),
+            command=lambda: self._set_localization(self.loc_var.get()),
         ).pack(side=tk.LEFT)
 
         def slider(name, frm, to, init, cmd, resolution=0.1):
@@ -113,26 +366,29 @@ class RealtimeGCCNMFWindow:
             s.pack(side=tk.LEFT)
             return s
 
-        # mask-window sliders: center/width/shape/floor
+        # mask-window sliders: center/width/shape/floor — two-way bound to
+        # the draggable region through the shared MaskEditorModel
         # (reference TargetWindowFunctionPlot, gccNMFInterface.py:534-578)
+        self._syncing = False
+        view = self.view
         self.s_center = slider(
-            "center", 0, cfg.num_tdoas - 1,
-            float(np.asarray(self.app.params.target_tdoa_index)),
-            lambda v: self.app.set_target_window(target_tdoa_index=v),
+            "center", 0, cfg.num_tdoas - 1, model.tdoa,
+            lambda v: self._slider_edit(tdoa=v),
         )
         self.s_width = slider(
-            "width", 0.5, cfg.num_tdoas / 2.0,
-            float(np.asarray(self.app.params.target_epsilon)),
-            lambda v: self.app.set_target_window(epsilon=v),
+            "width", 0.5, cfg.num_tdoas / 2.0, model.window_width,
+            lambda v: self._slider_edit(width=v),
         )
         self.s_shape = slider(
-            "shape", 0.25, 8.0, float(np.asarray(self.app.params.target_beta)),
-            lambda v: self.app.set_target_window(beta=v),
+            "shape", 0.25, 8.0, model.beta,
+            lambda v: self._slider_edit(beta=v),
         )
         self.s_floor = slider(
-            "floor", 0.0, 1.0, float(np.asarray(self.app.params.noise_floor)),
-            lambda v: self.app.set_target_window(noise_floor=v), resolution=0.01,
+            "floor", 0.0, 1.0, model.noise_floor,
+            lambda v: self._slider_edit(noise_floor=v), resolution=0.01,
         )
+        if bool(cfg.localization_enabled):
+            self.s_center.configure(state="disabled")
 
         tk.Label(bar, text="dict").pack(side=tk.LEFT, padx=(8, 0))
         self.dict_var = tk.StringVar(value=str(self.app.dictionary_size))
@@ -141,6 +397,28 @@ class RealtimeGCCNMFWindow:
             *[str(s) for s in cfg.dictionary_sizes],
             command=lambda v: self.app.set_dictionary(size=int(v)),
         ).pack(side=tk.LEFT)
+
+    def _slider_edit(self, **kw):
+        if self._syncing:
+            return
+        self.view.set_model_params(**kw)
+
+    def _sync_sliders(self, model) -> None:
+        """Figure → sliders half of the two-way binding (drag, follow)."""
+        self._syncing = True
+        try:
+            self.s_center.set(model.tdoa)
+            self.s_width.set(model.window_width)
+        finally:
+            self._syncing = False
+
+    def _set_localization(self, enabled: bool) -> None:
+        """Online localization owns the window center while enabled: the
+        center slider greys out, the spin of the region follows the
+        localized TDOA (reference localizationStateChanged,
+        gccNMFInterface.py:514-521)."""
+        self.app.set_localization(enabled)
+        self.s_center.configure(state="disabled" if enabled else "normal")
 
     # ----------------------------------------------------------------- audio
 
@@ -176,66 +454,10 @@ class RealtimeGCCNMFWindow:
 
     # ------------------------------------------------------------------ draw
 
-    def _imshow(self, ax, key, data, cmap="magma", title=None):
-        if key not in self._images:
-            ax.clear()
-            self._images[key] = ax.imshow(
-                data, origin="lower", aspect="auto", cmap=cmap
-            )
-            if title:
-                ax.set_title(title, fontsize=9)
-            ax.set_xticks([])
-            ax.set_yticks([])
-        else:
-            img = self._images[key]
-            if img.get_array().shape != data.shape:
-                del self._images[key]
-                return self._imshow(ax, key, data, cmap, title)
-            img.set_data(data)
-            img.set_clim(float(data.min()), float(data.max()) + 1e-9)
-
     def _refresh(self):
         if self._stop.is_set():
             return
-        h = self.app.histories
-        compress = lambda x: np.power(np.abs(x), 1.0 / 3.0)
-        self._imshow(
-            self.ax_in, "in", compress(h["input_spectrogram"].get_unraveled().T),
-            title="input spectrogram",
-        )
-        self._imshow(
-            self.ax_out, "out", compress(h["output_spectrogram"].get_unraveled().T),
-            title="output spectrogram",
-        )
-        self._imshow(
-            self.ax_gcc, "gcc", h["gcc_phat"].get_unraveled().T,
-            title="GCC-PHAT waterfall",
-        )
-        self._imshow(
-            self.ax_mask, "mask", h["coefficient_mask"].get_unraveled().T,
-            cmap="gray", title="coefficient mask",
-        )
-        try:
-            w = np.asarray(self.app.processor.w)
-            self._imshow(self.ax_dict, "dict", compress(w), title="dictionary W")
-        except Exception:
-            pass
-
-        # mean GCC-PHAT curve + localized target marker
-        self.ax_curve.clear()
-        mean_gcc = h["gcc_phat"].get(
-            int(np.asarray(self.app.params.localization_window))
-        )
-        if mean_gcc.size:
-            curve = mean_gcc.mean(axis=0)
-            self.ax_curve.plot(curve, linewidth=1.0)
-            tdoa = h["tdoa"].get(1)
-            if tdoa.size:
-                ti = int(tdoa[-1])
-                self.ax_curve.axvline(ti, color="r", linewidth=1.0)
-            self.ax_curve.set_title("mean GCC-PHAT", fontsize=9)
-            self.ax_curve.set_xticks([])
-
+        self.view.refresh()
         self.canvas.draw_idle()
         self.root.after(_REFRESH_MS, self._refresh)
 

@@ -110,12 +110,19 @@ class RealtimeGCCNMF:
 
         hist = cfg.num_tdoa_history
         spec_hist = cfg.num_spectrogram_history
+        # one coefficient-mask history per dictionary size, kept across size
+        # switches so flipping back restores the old waterfall (the reference
+        # allocates one shared buffer per size up front,
+        # runRealtimeGCCNMF.py:74-81); sizes are allocated lazily here
+        self._mask_histories: dict[int, CircularBuffer] = {
+            cfg.dictionary_size: CircularBuffer(cfg.dictionary_size, spec_hist)
+        }
         self._histories = {
             "gcc_phat": CircularBuffer(cfg.num_tdoas, hist),
             "tdoa": CircularBuffer((), hist),
             "input_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
             "output_spectrogram": CircularBuffer(cfg.num_freq, spec_hist),
-            "coefficient_mask": CircularBuffer(cfg.dictionary_size, spec_hist),
+            "coefficient_mask": self._mask_histories[cfg.dictionary_size],
         }
         # telemetry stays device-side until someone reads `histories`
         # (the GUI's 100 ms timer, a notebook cell): the deadline-critical
@@ -128,6 +135,23 @@ class RealtimeGCCNMF:
         )
 
     # ----------------------------------------------------------- dictionary
+
+    def _activate_mask_history(self, size: int) -> None:
+        """Point the active coefficient-mask history at ``size``'s buffer,
+        allocating it on first use. Old sizes keep their waterfalls (the
+        reference's per-size shared buffers, runRealtimeGCCNMF.py:74-81).
+        Pending telemetry carries the *old* mask width, so it is dropped."""
+        buf = self._mask_histories.setdefault(
+            size, CircularBuffer(size, self.config.num_spectrogram_history)
+        )
+        if self._histories["coefficient_mask"] is not buf:
+            self._histories["coefficient_mask"] = buf
+            self._pending_telemetry.clear()
+
+    @property
+    def mask_histories(self) -> dict:
+        """Per-dictionary-size coefficient-mask rings (lazily allocated)."""
+        return self._mask_histories
 
     def _get_dictionary(self) -> np.ndarray:
         if self.config.dictionary_file:
@@ -143,10 +167,7 @@ class RealtimeGCCNMF:
                 # (·, K) masks with a broadcast error otherwise
                 self.dictionary_size = k
                 self.config = dc_replace(self.config, dictionary_size=k)
-                self._histories["coefficient_mask"] = CircularBuffer(
-                    k, self.config.num_spectrogram_history
-                )
-                self._pending_telemetry.clear()
+                self._activate_mask_history(k)
             return w
         if self._dictionaries is None:
             self._dictionaries = {}
@@ -248,10 +269,7 @@ class RealtimeGCCNMF:
             if size is not None:
                 self.dictionary_size = size
                 self.config = dc_replace(self.config, dictionary_size=size)
-                self._histories["coefficient_mask"] = CircularBuffer(
-                    size, self.config.num_spectrogram_history
-                )
-                self._pending_telemetry.clear()  # old-size masks are stale
+                self._activate_mask_history(size)
             if type is not None:
                 self.dictionary_type = type
             if self._state is not None:

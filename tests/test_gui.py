@@ -1,8 +1,24 @@
-"""GUI smoke tests (skipped when no display is available — this container
-has no X server; the module itself is import-safe headless)."""
+"""GUI tests.
+
+The widget logic (mask-editor model, matplotlib rendering, region drag)
+runs headlessly on the Agg backend with synthetic mouse events — only the
+Tk window lifecycle needs a display and stays gated.
+"""
 
 import numpy as np
 import pytest
+
+import matplotlib
+
+matplotlib.use("Agg", force=True)
+
+from gccnmf_tpu.gui_model import (  # noqa: E402
+    MaskEditorModel,
+    generalized_gaussian,
+    normalized_mean_gcc,
+    target_window_curve,
+    visualized_dictionary,
+)
 
 
 def _has_display() -> bool:
@@ -21,7 +37,333 @@ def test_gui_module_imports_headless():
     import gccnmf_tpu.gui as gui
 
     assert hasattr(gui, "RealtimeGCCNMFWindow")
+    assert hasattr(gui, "GCCNMFFigureView")
     assert hasattr(gui, "run_gui")
+
+
+# --------------------------------------------------------------------- model
+
+
+def test_slider_mappings_match_reference_formulas():
+    """Exact parity with TargetWindowFunctionPlot's getters
+    (reference gccNMFInterface.py:560-577): the reference divides 0-100
+    integer sliders by 100; the model stores that fraction directly."""
+    n = 128
+    for v in range(0, 101, 7):
+        frac = v / 100.0
+        m = MaskEditorModel(
+            n, center_frac=frac, width_frac=frac, shape_frac=frac, floor_frac=frac
+        )
+        assert m.tdoa == pytest.approx(frac * n)
+        assert m.window_width == pytest.approx(max(frac * n, m.MIN_WIDTH))
+        assert m.beta == pytest.approx(np.exp(frac * 10.0 - 5.0))
+        assert m.noise_floor == pytest.approx(frac)
+
+
+def test_parameter_setters_round_trip():
+    m = MaskEditorModel(64)
+    m.set_tdoa(20.0)
+    m.set_window_width(5.0)
+    m.set_beta(2.0)
+    m.set_noise_floor(0.25)
+    assert m.tdoa == pytest.approx(20.0)
+    assert m.window_width == pytest.approx(5.0)
+    assert m.beta == pytest.approx(2.0)
+    assert m.noise_floor == pytest.approx(0.25)
+    # out-of-range values clamp instead of leaving the grid
+    m.set_tdoa(1e6)
+    assert m.tdoa == pytest.approx(64.0)
+    m.set_beta(1e9)
+    assert m.shape_frac == 1.0
+
+
+def test_region_two_way_binding():
+    m = MaskEditorModel(64)
+    m.set_region(10.0, 30.0)
+    assert m.tdoa == pytest.approx(20.0)
+    assert m.window_width == pytest.approx(10.0)
+    lo, hi = m.region
+    assert (lo, hi) == (pytest.approx(10.0), pytest.approx(30.0))
+    # reversed/degenerate input is normalized, not propagated
+    m.set_region(40.0, 25.0)
+    assert m.tdoa == pytest.approx(32.5)
+    m.set_region(12.0, 12.0)
+    assert m.window_width == pytest.approx(m.MIN_WIDTH)
+    # region is clipped to the grid like the reference's LinearRegionItem
+    # bounds=[0, numTDOAs-1] (gccNMFInterface.py:268-269)
+    m.set_tdoa(62.0)
+    m.set_window_width(20.0)
+    assert m.region[1] == pytest.approx(63.0)
+
+
+def test_shift_region_preserves_width():
+    m = MaskEditorModel(64)
+    m.set_region(10.0, 20.0)
+    m.shift_region(7.0)
+    assert m.window_width == pytest.approx(5.0)
+    assert m.tdoa == pytest.approx(22.0)
+
+
+def test_target_window_curve_matches_reference_normalization():
+    """The drawn curve is genGauss → min-subtracted → max-normalized →
+    squeezed into [floor, 1] (reference updateData, :550-558)."""
+    n, mu, alpha, beta, floor = 96, 40.0, 6.0, 1.5, 0.2
+    x = np.arange(n, dtype=np.float64)
+    ref = np.exp(-((np.abs(x - mu) / alpha) ** beta))
+    ref -= ref.min()
+    ref = ref / ref.max() * (1 - floor) + floor
+    got = target_window_curve(n, mu, alpha, beta, floor)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    assert got.min() == pytest.approx(floor, abs=1e-6)
+    assert got.max() == pytest.approx(1.0, abs=1e-6)
+    # and the raw kernel matches the reference's generalizedGaussian (:531)
+    np.testing.assert_allclose(
+        generalized_gaussian(x, alpha, beta, mu), np.exp(-((np.abs(x - mu) / alpha) ** beta))
+    )
+
+
+def test_stream_params_feed_the_hot_path():
+    m = MaskEditorModel(64)
+    m.set_region(8.0, 24.0)
+    m.set_beta(3.0)
+    m.set_noise_floor(0.1)
+    p = m.stream_params()
+    assert set(p) == {"target_tdoa_index", "epsilon", "beta", "noise_floor"}
+    assert p["target_tdoa_index"] == pytest.approx(16.0)
+    assert p["epsilon"] == pytest.approx(8.0)
+
+
+def test_visualized_dictionary_is_centroid_ordered_and_inverted():
+    rng = np.random.default_rng(7)
+    w = rng.random((33, 8)).astype(np.float32) + 1e-3
+    # give atoms distinct centroids
+    w[:5, 0] += 5.0  # low-frequency atom
+    w[-5:, 3] += 5.0  # high-frequency atom
+    img = visualized_dictionary(w)
+    assert img.shape == w.shape
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # centroid order: recompute on the displayed (un-inverted) image
+    mag = (1.0 - img.astype(np.float64)) ** 3.0
+    f = np.arange(w.shape[0], dtype=np.float64)
+    centroids = (f[:, None] * mag).sum(0) / mag.sum(0)
+    assert np.all(np.diff(centroids) >= -1e-9)
+    # inversion: the dictionary's global peak maps to 0 (black)
+    assert img.min() == pytest.approx(0.0, abs=1e-6)
+
+
+def test_normalized_mean_gcc():
+    hist = np.stack([np.linspace(0, 1, 16), 2.0 * np.linspace(0, 1, 16)])
+    curve = normalized_mean_gcc(hist)
+    assert curve is not None and curve.shape == (16,)
+    assert curve.min() == pytest.approx(0.0) and curve.max() == pytest.approx(1.0)
+    assert normalized_mean_gcc(np.zeros((0, 16))) is None
+    assert normalized_mean_gcc(np.ones((4, 16))) is None  # flat
+
+
+# ---------------------------------------------------------------- figure view
+
+
+@pytest.fixture()
+def gui_app(tmp_path, stereo_signal):
+    from gccnmf_tpu.config import load_config
+    from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+    from gccnmf_tpu.utils import wav as wavio
+
+    mix, sr = stereo_signal
+    path = str(tmp_path / "mix.wav")
+    wavio.write_wav(mix, path, sr)
+    rng = np.random.default_rng(0)
+    dicts = {
+        "Pretrained": {
+            16: rng.random((513, 16)).astype(np.float32) + 1e-3,
+            8: rng.random((513, 8)).astype(np.float32) + 1e-3,
+        }
+    }
+    return RealtimeGCCNMF(
+        path,
+        config=load_config(
+            None,
+            dictionary_size=16,
+            dictionary_sizes=(8, 16),
+            localization_enabled=False,
+        ),
+        dictionaries=dicts,
+    )
+
+
+def _make_view(app):
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    from gccnmf_tpu.gui import GCCNMFFigureView
+
+    fig = Figure(figsize=(11, 7), dpi=90)
+    FigureCanvasAgg(fig)
+    changed = []
+    view = GCCNMFFigureView(fig, app, on_params_changed=changed.append)
+    fig.canvas.draw()  # realize transforms for synthetic mouse events
+    return view, fig, changed
+
+
+def _mouse(fig, ax, name, xdata, ydata=0.5):
+    """Synthesize a matplotlib MouseEvent at a data coordinate of ``ax``."""
+    from matplotlib.backend_bases import MouseEvent
+
+    xpix, ypix = ax.transData.transform((xdata, ydata))
+    return MouseEvent(name, fig.canvas, xpix, ypix, button=1)
+
+
+def test_figure_view_refresh_headless(gui_app):
+    view, fig, _ = _make_view(gui_app)
+    block = np.zeros((2, gui_app.config.block_size), np.float32)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        gui_app.process_block(rng.standard_normal(block.shape).astype(np.float32) * 0.1)
+    view.refresh()
+    fig.canvas.draw()
+    assert "in" in view._images and "dict" in view._images
+    # dictionary panel is the centroid-ordered, inverted image
+    shown = np.asarray(view._images["dict"].get_array())
+    expected = visualized_dictionary(np.asarray(gui_app.processor.w))
+    np.testing.assert_allclose(shown, expected, rtol=1e-5)
+    # the live mean-GCC curve was populated
+    assert view._gcc_line.get_xdata().size == gui_app.config.num_tdoas
+
+
+def test_region_drag_updates_engine_params(gui_app):
+    view, fig, changed = _make_view(gui_app)
+    m = view.model
+    m.set_region(20.0, 30.0)
+    view._redraw_editor()
+    # grab the region body at its center and drag it +8 TDOA bins
+    ax = view.ax_curve
+    view._on_press(_mouse(fig, ax, "button_press_event", 25.0))
+    assert view._drag is not None and view._drag[0] == "move"
+    view._on_motion(_mouse(fig, ax, "motion_notify_event", 33.0))
+    view._on_release(_mouse(fig, ax, "button_release_event", 33.0))
+    assert view._drag is None
+    assert m.tdoa == pytest.approx(33.0, abs=0.2)
+    assert m.window_width == pytest.approx(5.0, abs=0.2)
+    # the hot engine params followed the drag (no recompile path)
+    assert float(np.asarray(gui_app.params.target_tdoa_index)) == pytest.approx(
+        m.tdoa, abs=1e-4
+    )
+    assert float(np.asarray(gui_app.params.target_epsilon)) == pytest.approx(
+        m.window_width, abs=1e-4
+    )
+    assert changed, "on_params_changed must fire so the shell can sync sliders"
+
+
+def test_region_edge_drag_resizes(gui_app):
+    view, fig, _ = _make_view(gui_app)
+    m = view.model
+    m.set_region(20.0, 30.0)
+    view._redraw_editor()
+    ax = view.ax_curve
+    # grab the hi edge and pull it out to 40
+    view._on_press(_mouse(fig, ax, "button_press_event", 30.0))
+    assert view._drag is not None and view._drag[0] == "hi"
+    view._on_motion(_mouse(fig, ax, "motion_notify_event", 40.0))
+    view._on_release(_mouse(fig, ax, "button_release_event", 40.0))
+    assert m.region[1] == pytest.approx(40.0, abs=0.2)
+    assert m.region[0] == pytest.approx(20.0, abs=0.2)
+    assert float(np.asarray(gui_app.params.target_epsilon)) == pytest.approx(
+        m.window_width, abs=1e-4
+    )
+
+
+def test_slider_edits_move_region_and_curve(gui_app):
+    view, fig, _ = _make_view(gui_app)
+    view.set_model_params(tdoa=12.0, width=4.0, beta=2.5, noise_floor=0.3)
+    lo, hi = view.model.region
+    assert (lo, hi) == (pytest.approx(8.0), pytest.approx(16.0))
+    patch = view._region_patch
+    if hasattr(patch, "get_width"):  # Rectangle (matplotlib >= 3.8)
+        span = (patch.get_x(), patch.get_x() + patch.get_width())
+    else:
+        xs = patch.get_xy()[:, 0]
+        span = (xs.min(), xs.max())
+    assert span == (pytest.approx(8.0), pytest.approx(16.0))
+    curve = view._curve_line.get_ydata()
+    assert curve.min() == pytest.approx(0.3, abs=1e-5)
+    assert float(np.asarray(gui_app.params.target_beta)) == pytest.approx(2.5)
+    assert float(np.asarray(gui_app.params.noise_floor)) == pytest.approx(0.3)
+
+
+def test_localization_follow_drives_center(gui_app):
+    view, fig, changed = _make_view(gui_app)
+    gui_app.set_localization(True, window_size=4)
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        gui_app.process_block(
+            rng.standard_normal((2, gui_app.config.block_size)).astype(np.float32) * 0.1
+        )
+    width_before = view.model.window_width
+    view.refresh()
+    tdoa = gui_app.histories["tdoa"].get(1)
+    assert tdoa.size == 1
+    assert view.model.tdoa == pytest.approx(float(tdoa[-1]), abs=1e-4)
+    assert view.model.window_width == pytest.approx(width_before)
+    assert changed, "follow must notify the shell to move its sliders"
+    # while localization owns the center, body drags are rejected...
+    view.model.set_window_width(6.0)
+    view._redraw_editor()
+    mid = view.model.tdoa
+    view._on_press(_mouse(fig, view.ax_curve, "button_press_event", mid))
+    assert view._drag is None
+    # ...but edge resizes stay allowed
+    lo, hi = view.model.region
+    view._on_press(_mouse(fig, view.ax_curve, "button_press_event", hi))
+    assert view._drag is not None and view._drag[0] == "hi"
+    view._on_release(None)
+
+
+def test_per_size_mask_histories_persist_across_switches(gui_app):
+    """Switching dictionary size swaps the active mask waterfall and keeps
+    the old size's history (reference per-size shared buffers,
+    runRealtimeGCCNMF.py:74-81)."""
+    rng = np.random.default_rng(9)
+    block = lambda: rng.standard_normal((2, gui_app.config.block_size)).astype(
+        np.float32
+    ) * 0.1
+    for _ in range(3):
+        gui_app.process_block(block())
+    h16 = gui_app.histories["coefficient_mask"]
+    assert h16.num_values > 0
+    filled_16 = h16.num_values
+
+    gui_app.set_dictionary(size=8)
+    for _ in range(2):
+        gui_app.process_block(block())
+    h8 = gui_app.histories["coefficient_mask"]
+    assert h8 is not h16
+    assert h8.get_unraveled().shape[1] == 8
+    # the 16-atom history survived untouched
+    assert gui_app.mask_histories[16] is h16
+    assert h16.num_values == filled_16
+
+    gui_app.set_dictionary(size=16)
+    assert gui_app.histories["coefficient_mask"] is h16
+
+
+def test_figure_view_tracks_dictionary_switch(gui_app):
+    view, fig, _ = _make_view(gui_app)
+    rng = np.random.default_rng(11)
+    block = lambda: rng.standard_normal((2, gui_app.config.block_size)).astype(
+        np.float32
+    ) * 0.1
+    gui_app.process_block(block())
+    view.refresh()
+    assert np.asarray(view._images["dict"].get_array()).shape[1] == 16
+    gui_app.set_dictionary(size=8)
+    gui_app.process_block(block())
+    view.refresh()
+    assert np.asarray(view._images["dict"].get_array()).shape[1] == 8
+    # mask waterfall is drawn transposed: rows = atoms of the new size
+    assert np.asarray(view._images["mask"].get_array()).shape[0] == 8
+
+
+# ------------------------------------------------------------------ Tk shell
 
 
 @pytest.mark.skipif(not _has_display(), reason="no display available")
@@ -42,7 +384,6 @@ def test_gui_window_lifecycle(tmp_path, stereo_signal):
         dictionaries={"Pretrained": {16: w16}},
     )
     win = RealtimeGCCNMFWindow(app, loop=False)
-    # process a few blocks directly, then force one repaint and close
     from gccnmf_tpu.realtime.audio import FilePlayerSource
 
     src = FilePlayerSource(path, app.config.block_size)
@@ -52,4 +393,8 @@ def test_gui_window_lifecycle(tmp_path, stereo_signal):
             break
     win.root.update()
     win._refresh()
+    # slider → region → slider round trip through the Tk widgets
+    win.s_center.set(20.0)
+    win._slider_edit(tdoa=20.0)
+    assert win.view.model.tdoa == pytest.approx(20.0, abs=0.5)
     win.close()
