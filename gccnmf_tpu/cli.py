@@ -38,15 +38,24 @@ def separate_main(argv=None):
     ap.add_argument("--time-shards", type=int, default=0,
                     help="shard the time axis over N mesh devices "
                          "(sequence-parallel long-audio pipeline)")
+    ap.add_argument("--streamed", action="store_true",
+                    help="disk-streamed I/O for hour-scale files (requires "
+                         "--time-shards): mmap input chunks per shard, "
+                         "write outputs incrementally — O(chunk) host RAM")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
         logging.basicConfig(level=logging.INFO)
+    if args.streamed and not args.time_shards:
+        ap.error("--streamed requires --time-shards")
 
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.utils import wav
 
-    stereo, sr = wav.read_wav(args.input)
+    if args.streamed:
+        stereo, sr = None, wav.WavReader(args.input).sample_rate
+    else:
+        stereo, sr = wav.read_wav(args.input)
     cfg = OfflineConfig(
         window_size=args.window_size,
         hop_size=args.hop_size,
@@ -71,9 +80,12 @@ def separate_main(argv=None):
         separator = LongAudioSeparator(cfg, mesh)
     else:
         separator = GCCNMFSeparator(cfg)
-    result = separator.separate_file(
-        args.input, args.output_prefix, audio=(stereo, sr)
-    )
+    if args.streamed:
+        result = separator.separate_streamed(args.input, args.output_prefix)
+    else:
+        result = separator.separate_file(
+            args.input, args.output_prefix, audio=(stereo, sr)
+        )
     print(
         json.dumps(
             dict(

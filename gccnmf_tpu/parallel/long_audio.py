@@ -142,39 +142,26 @@ class LongAudioSeparator:
 
     # -------------------------------------------------------------- driver
 
-    def separate(self, stereo: np.ndarray, num_sources: int | None = None):
-        """Separate ``(2, n)`` audio of arbitrary length across the mesh.
-
-        Output matches :meth:`GCCNMFSeparator.separate` on the processed
-        region (the trailing partial frames that don't fill every shard
-        equally — at most ``num_shards·hop`` samples — are dropped).
-        """
+    def _frame_geometry(self, n_samples: int) -> tuple[int, int, int]:
+        """(frames_per_shard, frames_total_processed, chunk_len)."""
         cfg = self.config
         s = self.num_shards
-        # mirror GCCNMFSeparator.separate: None defers to the config, and a
-        # config of None means auto source counting (2-means on peaks)
-        num_sources = cfg.num_sources if num_sources is None else num_sources
         window, hop = cfg.window_size, cfg.hop_size
-
-        t_total = stft_ops.num_frames(stereo.shape[-1], window, hop)
+        t_total = stft_ops.num_frames(n_samples, window, hop)
         t_s = t_total // s
         if t_s * hop < window - hop:
             raise ValueError(
                 f"audio too short to shard {s} ways: {t_s} frames/shard"
             )
-        t = t_s * s  # frames actually processed
+        # per-shard sample chunks overlap by window-hop at each seam
+        return t_s, t_s * s, (t_s - 1) * hop + window
 
-        # per-shard sample chunks, overlapping by window-hop at each seam
-        chunk_len = (t_s - 1) * hop + window
-        chunks = np.stack(
-            [
-                stereo[:, i * t_s * hop : i * t_s * hop + chunk_len]
-                for i in range(s)
-            ]
-        ).astype(np.float32)  # (S, 2, chunk_len)
-        chunks_sh = jax.device_put(
-            chunks, NamedSharding(self.mesh, P("data"))
-        )
+    def _separate_core(self, chunks_sh, t_s: int, num_sources):
+        """Sharded chunks → (owned, tails, targets, w, mean_ang): the whole
+        device pipeline shared by the in-memory and disk-streamed drivers."""
+        cfg = self.config
+        s = self.num_shards
+        t = t_s * s
 
         spec, coh, v, ang_sum = self._analyze_shards(chunks_sh)
         v2 = v.reshape(2 * t, cfg.num_freq)  # (S·2T_s, F) still time-sharded
@@ -206,6 +193,35 @@ class LongAudioSeparator:
         owned, tails = self._reconstruct_shards(
             spec, coh, h_sharded, w, targets_dev
         )
+        return owned, tails, targets, w, mean_ang
+
+    def separate(self, stereo: np.ndarray, num_sources: int | None = None):
+        """Separate ``(2, n)`` audio of arbitrary length across the mesh.
+
+        Output matches :meth:`GCCNMFSeparator.separate` on the processed
+        region (the trailing partial frames that don't fill every shard
+        equally — at most ``num_shards·hop`` samples — are dropped).
+        """
+        cfg = self.config
+        s = self.num_shards
+        # mirror GCCNMFSeparator.separate: None defers to the config, and a
+        # config of None means auto source counting (2-means on peaks)
+        num_sources = cfg.num_sources if num_sources is None else num_sources
+        window, hop = cfg.window_size, cfg.hop_size
+
+        t_s, t, chunk_len = self._frame_geometry(stereo.shape[-1])
+        chunks = np.stack(
+            [
+                stereo[:, i * t_s * hop : i * t_s * hop + chunk_len]
+                for i in range(s)
+            ]
+        ).astype(np.float32)  # (S, 2, chunk_len)
+        chunks_sh = jax.device_put(
+            chunks, NamedSharding(self.mesh, P("data"))
+        )
+        owned, tails, targets, w, mean_ang = self._separate_core(
+            chunks_sh, t_s, num_sources
+        )
 
         # cross-host-sharded outputs need a DCN allgather, not np.asarray
         owned_np = mesh_lib.gather_to_host(owned)  # (S, N, 2, T_s*hop)
@@ -222,6 +238,116 @@ class LongAudioSeparator:
             w=np.asarray(w),
             mean_angular_spectrum=mean_ang,
             frames_processed=t,
+        )
+
+    def separate_streamed(
+        self,
+        mixture_path: str,
+        output_prefix: str | None = None,
+        num_sources: int | None = None,
+    ):
+        """Disk-streamed separation: O(chunk) host RAM instead of O(file).
+
+        Input chunks are memory-mapped and loaded per shard straight onto
+        each shard's device (``jax.make_array_from_callback`` — no global
+        host copy exists at any point); outputs are written incrementally,
+        one shard at a time, through :class:`StreamingWavWriter`. The
+        device pipeline (and therefore the waveform, up to int16
+        quantization) is identical to :meth:`separate` — hour-scale runs
+        are bounded by disk and HBM, never host RAM.
+
+        Multi-process meshes fall back to a gather on the output side
+        (every host needs the full waveform to write identical files).
+        """
+        cfg = self.config
+        s = self.num_shards
+        num_sources = cfg.num_sources if num_sources is None else num_sources
+        window, hop = cfg.window_size, cfg.hop_size
+
+        reader = wav.WavReader(mixture_path)
+        if reader.sample_rate != cfg.sample_rate:
+            sep = LongAudioSeparator(
+                replace(cfg, sample_rate=reader.sample_rate), self.mesh
+            )
+            return sep.separate_streamed(
+                mixture_path, output_prefix, num_sources
+            )
+        if reader.num_channels != 2:
+            raise ValueError(
+                f"expected stereo input, got {reader.num_channels} channels"
+            )
+        t_s, t, chunk_len = self._frame_geometry(reader.num_samples)
+
+        def load_chunks(index) -> np.ndarray:
+            """Materialize only the shard rows one device actually holds."""
+            rows = range(*index[0].indices(s))
+            return np.stack(
+                [reader.read(i * t_s * hop, chunk_len) for i in rows]
+            )
+
+        chunks_sh = jax.make_array_from_callback(
+            (s, 2, chunk_len),
+            NamedSharding(self.mesh, P("data")),
+            load_chunks,
+        )
+        owned, tails, targets, w, mean_ang = self._separate_core(
+            chunks_sh, t_s, num_sources
+        )
+
+        prefix = output_prefix or (
+            mixture_path[: -len("_mix.wav")]
+            if mixture_path.endswith("_mix.wav")
+            else mixture_path.rsplit(".", 1)[0]
+        )
+        num_targets = int(owned.shape[1])
+        gain = stft_gain(cfg)
+        half = window // 2
+
+        writers = [
+            wav.StreamingWavWriter(
+                f"{prefix}_sim_{i + 1}.wav", reader.sample_rate
+            )
+            for i in range(num_targets)
+        ]
+        # held-back FIFO per target: the final `half` samples are trimmed,
+        # but which samples those are is only known at the end of the stream
+        pending = [np.zeros((2, 0), np.float32) for _ in range(num_targets)]
+
+        def emit(block: np.ndarray) -> None:  # block: (N, 2, L)
+            for n in range(num_targets):
+                buf = np.concatenate([pending[n], block[n] * gain], axis=-1)
+                if buf.shape[-1] > half:
+                    writers[n].write(buf[:, : buf.shape[-1] - half])
+                    buf = buf[:, buf.shape[-1] - half :]
+                pending[n] = buf
+
+        if jax.process_count() == 1:
+            shard_blocks = sorted(
+                owned.addressable_shards, key=lambda sh: sh.index[0].start or 0
+            )
+            ordered = [np.asarray(sh.data)[0] for sh in shard_blocks]
+            tail_np = np.asarray(
+                sorted(
+                    tails.addressable_shards,
+                    key=lambda sh: sh.index[0].start or 0,
+                )[-1].data
+            )[0]
+        else:
+            owned_np = mesh_lib.gather_to_host(owned)
+            ordered = [owned_np[i] for i in range(s)]
+            tail_np = mesh_lib.gather_to_host(tails)[-1]
+
+        for i, block in enumerate(ordered):
+            emit(block[..., half:] if i == 0 else block)  # leading trim
+        emit(tail_np)
+        paths = [w_.close() for w_ in writers]
+        return dict(
+            paths=paths,
+            target_tdoa_indexes=targets,
+            w=np.asarray(w),
+            mean_angular_spectrum=mean_ang,
+            frames_processed=t,
+            samples_written=writers[0].samples_written if writers else 0,
         )
 
     def separate_file(

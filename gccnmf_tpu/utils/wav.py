@@ -24,7 +24,14 @@ logger = logging.getLogger(__name__)
 
 CLIP_PROTECTION_MAX = 0.99
 
-__all__ = ["pcm_to_float", "float_to_pcm", "read_wav", "write_wav"]
+__all__ = [
+    "pcm_to_float",
+    "float_to_pcm",
+    "read_wav",
+    "write_wav",
+    "WavReader",
+    "StreamingWavWriter",
+]
 
 
 def pcm_to_float(sig: np.ndarray, dtype="float32") -> np.ndarray:
@@ -57,6 +64,98 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     else:
         samples = pcm_to_float(pcm)
     return samples.T, sample_rate
+
+
+class WavReader:
+    """Random-access WAV reader for hour-scale files.
+
+    Memory-maps the PCM payload (``scipy.io.wavfile.read(mmap=True)``) so
+    opening an hour-long recording costs O(1) RAM; each :meth:`read`
+    converts only the requested sample range to float32. This is the input
+    side of the chunked long-audio path — the reference always loads whole
+    files (gccNMF/wavfile.py:34-37)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.sample_rate, pcm = _sp_wavfile.read(path, mmap=True)
+        self._pcm = pcm
+        self.num_samples = int(pcm.shape[0])
+        self.num_channels = 1 if pcm.ndim == 1 else int(pcm.shape[1])
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """``(channels, count)`` float32 starting at sample ``start``.
+
+        Ranges past the end are zero-padded (callers tile fixed-size
+        chunks; the final one may overhang the file)."""
+        start = max(int(start), 0)
+        end = min(start + int(count), self.num_samples)
+        chunk = np.asarray(self._pcm[start:end])
+        if chunk.dtype.kind == "f":
+            samples = chunk.astype(np.float32)
+        else:
+            samples = pcm_to_float(chunk)
+        samples = samples.T if samples.ndim == 2 else samples[None]
+        if samples.shape[-1] < count:
+            pad = np.zeros(
+                (samples.shape[0], count - samples.shape[-1]), np.float32
+            )
+            samples = np.concatenate([samples, pad], axis=-1)
+        return samples
+
+
+class StreamingWavWriter:
+    """Incremental 16-bit PCM WAV writer (stdlib ``wave``).
+
+    Appends ``(channels, n)`` float32 blocks as they arrive — O(block)
+    RAM, unlike :func:`write_wav`/``WavSink`` which buffer the whole
+    signal. Because the data is gone once written, clip protection is
+    per-sample clipping (counted and warned on close) instead of the
+    reference's whole-file rescale (gccNMF/wavfile.py:40-44) — a
+    documented divergence for the streamed path only."""
+
+    def __init__(self, path: str, sample_rate: int, num_channels: int = 2):
+        import wave
+
+        self.path = path
+        self._wf = wave.open(path, "wb")
+        self._wf.setnchannels(num_channels)
+        self._wf.setsampwidth(2)
+        self._wf.setframerate(int(sample_rate))
+        self.num_channels = num_channels
+        self.clipped_samples = 0
+        self.samples_written = 0
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[None]
+        if samples.shape[0] != self.num_channels:
+            raise ValueError(
+                f"expected {self.num_channels} channels, got {samples.shape[0]}"
+            )
+        over = np.abs(samples) >= 1.0
+        if over.any():
+            self.clipped_samples += int(over.sum())
+            samples = np.clip(samples, -1.0, 1.0 - 2.0**-15)
+        pcm = float_to_pcm(samples).T  # (n, C) interleaved frame order
+        self._wf.writeframes(np.ascontiguousarray(pcm).tobytes())
+        self.samples_written += samples.shape[-1]
+
+    def close(self) -> str:
+        self._wf.close()
+        if self.clipped_samples:
+            logger.warning(
+                "StreamingWavWriter: clipped %d samples in %s",
+                self.clipped_samples,
+                self.path,
+            )
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def write_wav(

@@ -89,6 +89,35 @@ class TestCLI:
         for p in info["outputs"]:
             assert os.path.exists(p)
 
+    def test_separate_cli_streamed(self, wav_file, tmp_path, capsys):
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        rc = cli.separate_main(
+            [
+                path,
+                "-o", str(tmp_path / "st"),
+                "--num-sources", "2",
+                "--dictionary-size", "16",
+                "--num-iterations", "5",
+                "--time-shards", "2",
+                "--streamed",
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["outputs"]) == 2
+        for p in info["outputs"]:
+            x, out_sr = wavio.read_wav(p)
+            assert out_sr == sr and np.isfinite(x).all() and x.shape[0] == 2
+
+    def test_separate_cli_streamed_requires_time_shards(self, wav_file):
+        from gccnmf_tpu import cli
+
+        path, _ = wav_file
+        with pytest.raises(SystemExit):
+            cli.separate_main([path, "--streamed"])
+
     def test_stream_cli(self, wav_file, tmp_path, capsys, monkeypatch):
         from gccnmf_tpu import cli
 

@@ -127,3 +127,54 @@ class TestLongAudioSeparator:
         for p in result["paths"]:
             x, sr = wavio.read_wav(p)
             assert np.isfinite(x).all() and x.shape[0] == 2
+
+    def test_streamed_matches_in_memory(self, cfg, tmp_path):
+        """Disk-streamed separation (mmap reader + make_array_from_callback
+        + incremental writers) is waveform-identical to the in-memory path
+        up to int16 quantization."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(8 * 24)
+        path = str(tmp_path / "streamed_mix.wav")
+        wavio.write_wav(stereo, path, 16000)
+        # the fixture file is itself int16-quantized: the in-memory
+        # reference must see the same samples the streamed reader sees
+        stereo_q, _ = wavio.read_wav(path)
+
+        sep = LongAudioSeparator(cfg)
+        ref = sep.separate(stereo_q, num_sources=2)
+        out = sep.separate_streamed(
+            path, output_prefix=str(tmp_path / "streamed"), num_sources=2
+        )
+        assert list(out["target_tdoa_indexes"]) == list(
+            ref["target_tdoa_indexes"]
+        )
+        assert len(out["paths"]) == ref["estimates"].shape[0]
+        assert out["frames_processed"] == ref["frames_processed"]
+        for i, p in enumerate(out["paths"]):
+            got, sr = wavio.read_wav(p)
+            want = ref["estimates"][i]
+            assert sr == 16000
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=2.0 / 32768.0)
+
+    def test_streamed_resamples_config_to_file_rate(self, cfg, tmp_path):
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(8 * 24)
+        path = str(tmp_path / "sr8k_mix.wav")
+        wavio.write_wav(stereo, path, 8000)
+        out = LongAudioSeparator(cfg).separate_streamed(
+            path, output_prefix=str(tmp_path / "sr8k")
+        )
+        _, sr = wavio.read_wav(out["paths"][0])
+        assert sr == 8000
+
+    def test_streamed_rejects_mono(self, cfg, tmp_path):
+        from gccnmf_tpu.utils import wav as wavio
+
+        mono = _two_source_mix(8 * 24)[:1]
+        path = str(tmp_path / "mono.wav")
+        wavio.write_wav(mono, path, 16000)
+        with pytest.raises(ValueError, match="stereo"):
+            LongAudioSeparator(cfg).separate_streamed(path)

@@ -68,3 +68,68 @@ def test_read_24bit_pcm(tmp_path):
     x, got_sr = wav.read_wav(str(path))
     assert got_sr == sr and x.shape == (2, n) and x.dtype == np.float32
     np.testing.assert_allclose(x, vals.T.astype(np.float64) / 2**23, atol=0)
+
+
+def test_wav_reader_range_reads_match_full_read(tmp_path, stereo_signal):
+    from gccnmf_tpu.utils import wav as wavio
+
+    mix, sr = stereo_signal
+    path = str(tmp_path / "reader.wav")
+    wavio.write_wav(mix, path, sr)
+    full, _ = wavio.read_wav(path)
+
+    r = wavio.WavReader(path)
+    assert r.sample_rate == sr
+    assert r.num_channels == 2
+    assert r.num_samples == full.shape[-1]
+    np.testing.assert_array_equal(r.read(0, 1000), full[:, :1000])
+    np.testing.assert_array_equal(r.read(777, 333), full[:, 777:1110])
+    # past-EOF reads zero-pad to the requested length
+    tail = r.read(r.num_samples - 10, 64)
+    assert tail.shape == (2, 64)
+    np.testing.assert_array_equal(tail[:, :10], full[:, -10:])
+    assert not tail[:, 10:].any()
+
+
+def test_streaming_wav_writer_round_trip(tmp_path, rng):
+    from gccnmf_tpu.utils import wav as wavio
+
+    path = str(tmp_path / "streamed.wav")
+    blocks = [
+        rng.uniform(-0.9, 0.9, (2, n)).astype(np.float32)
+        for n in (100, 257, 64)
+    ]
+    with wavio.StreamingWavWriter(path, 16000) as w:
+        for b in blocks:
+            w.write(b)
+    assert w.samples_written == 421
+    got, sr = wavio.read_wav(path)
+    want = np.concatenate(blocks, axis=-1)
+    assert sr == 16000
+    np.testing.assert_allclose(got, want, atol=1.0 / 32768.0)
+
+
+def test_streaming_wav_writer_clips_and_counts(tmp_path):
+    from gccnmf_tpu.utils import wav as wavio
+
+    path = str(tmp_path / "clipped.wav")
+    w = wavio.StreamingWavWriter(path, 16000)
+    block = np.zeros((2, 8), np.float32)
+    block[0, 0] = 1.5
+    block[1, 3] = -2.0
+    w.write(block)
+    w.close()
+    assert w.clipped_samples == 2
+    got, _ = wavio.read_wav(path)
+    assert np.abs(got).max() <= 1.0
+
+
+def test_streaming_wav_writer_rejects_channel_mismatch(tmp_path):
+    import pytest
+
+    from gccnmf_tpu.utils import wav as wavio
+
+    w = wavio.StreamingWavWriter(str(tmp_path / "bad.wav"), 16000, 2)
+    with pytest.raises(ValueError):
+        w.write(np.zeros((3, 8), np.float32))
+    w.close()
