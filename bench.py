@@ -257,15 +257,18 @@ def bench_offline_numpy(stereo, sr, quick: bool):
 
 
 def quality_vs_oracle(stereo, sr, ref, quick: bool, parity_mode: bool = False):
-    """Min per-source waveform SNR of the TPU pipeline vs the NumPy oracle
-    — the parity evidence recorded with every benchmark run.
+    """(min per-source waveform SNR, min per-source PESQ) of the TPU
+    pipeline vs the NumPy oracle — the parity evidence recorded with every
+    benchmark run. Parity PESQ near 4.5 means the TPU output is perceptually
+    transparent relative to the reference's own waveform (the comparison
+    axis BASELINE.md names).
 
     ``parity_mode=True`` runs the slow exact-numerics configuration
     (f32 NMF trajectory + Precision.HIGHEST GEMMs) instead of the
     throughput default."""
     import dataclasses
 
-    from gccnmf_tpu.metrics import snr
+    from gccnmf_tpu.metrics import pesq, snr
     from gccnmf_tpu.models.offline import GCCNMFSeparator
     from gccnmf_tpu.ops import xprec
 
@@ -281,12 +284,25 @@ def quality_vs_oracle(stereo, sr, ref, quick: bool, parity_mode: bool = False):
     tpu_est = result["estimates"]
     ref_est = np.asarray(ref["estimates"])
     if list(result["target_tdoa_indexes"]) != list(ref["targets"]):
-        return None  # different localization: SNR comparison meaningless
+        return None, None  # different localization: comparison meaningless
     n = min(tpu_est.shape[-1], ref_est.shape[-1])
-    return min(
+    min_snr = min(
         snr(ref_est[i][..., :n], tpu_est[i][..., :n])
         for i in range(ref_est.shape[0])
     )
+    pesqs = []
+    for i in range(ref_est.shape[0]):
+        try:
+            pesqs.append(
+                pesq(
+                    ref_est[i][..., :n].mean(axis=0),
+                    np.asarray(tpu_est[i][..., :n]).mean(axis=0),
+                    sr,
+                )
+            )
+        except Exception:
+            pass
+    return min_snr, (min(pesqs) if pesqs else None)
 
 
 def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
@@ -398,16 +414,18 @@ def main():
     device_ms, p50_ms, unpiped_p50_ms, stream_rt, multi_rt = bench_streaming(sr)
     if args.skip_numpy:
         numpy_throughput = None
-        quality_db = parity_db = None
+        quality_db = parity_db = quality_pesq = parity_pesq = None
     else:
         numpy_throughput, ref = bench_offline_numpy(stereo, sr, args.quick)
         try:
-            quality_db = quality_vs_oracle(stereo, sr, ref, args.quick)
-            parity_db = quality_vs_oracle(
+            quality_db, quality_pesq = quality_vs_oracle(
+                stereo, sr, ref, args.quick
+            )
+            parity_db, parity_pesq = quality_vs_oracle(
                 stereo, sr, ref, args.quick, parity_mode=True
             )
         except Exception:
-            quality_db = parity_db = None
+            quality_db = parity_db = quality_pesq = parity_pesq = None
 
     result = {
         "metric": "offline separation throughput",
@@ -429,6 +447,12 @@ def main():
         ),
         "quality_parity_mode_snr_db": (
             round(parity_db, 1) if parity_db is not None else None
+        ),
+        "quality_min_pesq_vs_numpy_oracle": (
+            round(quality_pesq, 2) if quality_pesq is not None else None
+        ),
+        "quality_parity_mode_pesq": (
+            round(parity_pesq, 2) if parity_pesq is not None else None
         ),
         "streaming_device_ms_per_block": round(device_ms, 3),
         "streaming_realtime_factor": round(stream_rt, 1),

@@ -47,6 +47,7 @@ import numpy as np
 __all__ = [
     "num_frames",
     "frame_signal",
+    "pad_center_window",
     "stft",
     "istft",
     "inverse_frames",
@@ -135,6 +136,27 @@ def _stft_conv(y: jax.Array, window: jax.Array, hop_size: int, fft_size: int):
     return out[..., :num_freq], -out[..., num_freq:]
 
 
+def pad_center_window(
+    window: jax.Array | np.ndarray, fft_size: int
+) -> jax.Array:
+    """Center-pad a window shorter than the frame with zeros — librosa's
+    ``pad_center`` semantics (reference librosaSTFT.py:297-368, left pad
+    ``(size - n) // 2``). This is the reference's ``fftSize != windowSize``
+    path: ``computeComplexMixtureSpectrogram``'s ``fftSize`` argument lands
+    in librosa's ``win_length`` slot (gccNMFFunctions.py:61-67), producing
+    a ``hanning(fftSize)`` window pad-centered to the frame length."""
+    window = jnp.asarray(window, jnp.float32)
+    n = window.shape[-1]
+    if n == fft_size:
+        return window
+    if n > fft_size:
+        raise ValueError(
+            f"window length {n} exceeds frame length {fft_size}"
+        )
+    lpad = (fft_size - n) // 2
+    return jnp.pad(window, (lpad, fft_size - n - lpad))
+
+
 def stft(
     y: jax.Array,
     window: jax.Array | np.ndarray,
@@ -146,12 +168,14 @@ def stft(
 ) -> jax.Array:
     """Left-aligned STFT of ``(..., n)`` real audio → ``(..., T, F)`` complex64.
 
-    ``window`` must have length ``fft_size`` (it is applied to each frame
-    before the transform). ``F = fft_size//2 + 1``.
+    A ``window`` shorter than ``fft_size`` is zero-pad-centered to the
+    frame length (librosa semantics; see :func:`pad_center_window`).
+    ``F = fft_size//2 + 1``.
     """
     window = jnp.asarray(window, jnp.float32)
     if fft_size is None:
         fft_size = window.shape[-1]
+    window = pad_center_window(window, fft_size)
     if method == "conv":
         real, imag = _stft_conv(y, window, hop_size, fft_size)
         spec = jax.lax.complex(real, imag)
@@ -213,6 +237,7 @@ def istft(
     """
     window = jnp.asarray(window, jnp.float32)
     fft_size = 2 * (spec.shape[-1] - 1)
+    window = pad_center_window(window, fft_size)
     if conjugate:
         spec = jnp.conj(spec)
     if method == "conv":

@@ -213,6 +213,19 @@ class TestBundledDevWav:
             np.asarray(got["estimates"]).mean(axis=1)[..., :n],
         )
         assert float(np.min(sdr)) > 25.0, f"BSS-Eval SDR vs oracle: {sdr}"
+        # PESQ parity gate (BASELINE.md names SDR/PESQ as comparison axes):
+        # the TPU output must be perceptually transparent relative to the
+        # reference waveform — measured 4.64 here; 4.3 still means
+        # imperceptible, anything below is an audible numerics regression.
+        from gccnmf_tpu.metrics import pesq
+
+        for t in range(3):
+            score = pesq(
+                np.asarray(want["estimates"][t])[..., :n].mean(axis=0),
+                np.asarray(got["estimates"][t])[..., :n].mean(axis=0),
+                sr,
+            )
+            assert score > 4.3, f"target {t}: parity PESQ {score:.2f}"
 
 
 class TestPipelinedBatches:

@@ -149,3 +149,49 @@ class TestRoundTripSweep:
             hop = syn // 2
             wa, ws = win_ops.asymmetric_analysis_synthesis_pair(win, syn, hop)
             assert win_ops.cola_check(wa * ws, hop) < 1e-6, (win, syn)
+
+
+class TestPadCenterWindow:
+    """The reference's ``fftSize != windowSize`` corner: its ``fftSize``
+    argument lands in librosa's ``win_length`` slot, giving a
+    ``hanning(fftSize)`` window pad-centered to the frame length
+    (gccNMFFunctions.py:61-67 + librosaSTFT.py:125-160, 297-368)."""
+
+    def test_matches_librosa_doc_example(self):
+        # reference librosaSTFT.py:303-306: ones(5) centered into 10
+        got = np.asarray(stft_ops.pad_center_window(np.ones(5), 10))
+        np.testing.assert_array_equal(
+            got, [0, 0, 1, 1, 1, 1, 1, 0, 0, 0]
+        )
+
+    def test_equal_length_is_identity(self):
+        w = np.hanning(64)
+        np.testing.assert_array_equal(
+            np.asarray(stft_ops.pad_center_window(w, 64)), w.astype(np.float32)
+        )
+
+    def test_window_longer_than_frame_raises(self):
+        with pytest.raises(ValueError, match="exceeds"):
+            stft_ops.pad_center_window(np.ones(65), 64)
+
+    def test_stft_short_window_matches_numpy(self, rng):
+        y = rng.standard_normal(4000).astype(np.float32)
+        win = np.hanning(384)
+        got = np.asarray(stft_ops.stft(y, win, 128, fft_size=512, conjugate=True))
+        wpad = np.zeros(512)
+        wpad[64 : 64 + 384] = win  # lpad = (512-384)//2
+        t = 1 + (4000 - 512) // 128
+        frames = np.stack([y[i * 128 : i * 128 + 512] for i in range(t)])
+        want = np.fft.rfft(frames * wpad, axis=-1).conj()
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_istft_short_window_equals_prepadded(self, rng):
+        spec = (
+            rng.standard_normal((20, 257)) + 1j * rng.standard_normal((20, 257))
+        ).astype(np.complex64)
+        win = np.hanning(384)
+        wpad = np.zeros(512, np.float32)
+        wpad[64 : 64 + 384] = win
+        got = np.asarray(stft_ops.istft(spec, win, 128))
+        want = np.asarray(stft_ops.istft(spec, wpad, 128))
+        np.testing.assert_allclose(got, want, atol=1e-6)
