@@ -300,8 +300,10 @@ def quality_vs_oracle(stereo, sr, ref, quick: bool, parity_mode: bool = False):
                     sr,
                 )
             )
-        except Exception:
-            pass
+        except Exception as e:
+            # a null in the JSON must be distinguishable from "not measured":
+            # a NaN estimate or unsupported rate is itself parity evidence
+            print(f"# pesq failed for source {i}: {e}", file=sys.stderr)
     return min_snr, (min(pesqs) if pesqs else None)
 
 

@@ -147,6 +147,16 @@ class GCCNMFFigureView:
     def _push_params(self) -> None:
         self.app.set_target_window(**self.model.stream_params())
 
+    def set_localization(self, enabled: bool) -> None:
+        """Toggle online localization. On disable, hand the followed center
+        back to the engine: while localization owned the target the model
+        tracked it but params were never pushed — without this the mask
+        would snap back to the stale manually-set index."""
+        self.app.set_localization(enabled)
+        if not enabled:
+            self._push_params()
+            self._redraw_editor()
+
     def _redraw_editor(self) -> None:
         lo, hi = self.model.region
         patch = self._region_patch
@@ -194,11 +204,11 @@ class GCCNMFFigureView:
         zone, x0, lo0, hi0 = self._drag
         x = float(event.xdata)
         if zone == "move":
-            half = (hi0 - lo0) / 2.0
-            self.model.set_region(
-                (lo0 + hi0) / 2.0 + (x - x0) - half,
-                (lo0 + hi0) / 2.0 + (x - x0) + half,
-            )
+            # width-preserving translation (pyqtgraph LinearRegionItem
+            # semantics): set_region against a grid edge would clip one
+            # bound and permanently narrow epsilon
+            self.model.set_tdoa((lo0 + hi0) / 2.0 + (x - x0))
+            self.model.set_window_width((hi0 - lo0) / 2.0)
         elif zone == "lo":
             self.model.set_region(x, hi0)
         else:  # "hi"
@@ -260,10 +270,9 @@ class GCCNMFFigureView:
             cmap="gray", title=f"coefficient mask (K={app.dictionary_size})",
             clim=(0.0, 1.0),
         )
-        try:
-            w = np.asarray(app.processor.w)
-        except Exception:
-            w = None
+        # peek, never build: app.processor on this (GUI) thread would race
+        # the audio pump's locked lazy rebuild after a structural change
+        w = app.peek_dictionary()
         if w is not None:
             key = (app.dictionary_type, app.dictionary_size, w.shape)
             if key != self._dict_cache_key:
@@ -414,10 +423,9 @@ class RealtimeGCCNMFWindow:
 
     def _set_localization(self, enabled: bool) -> None:
         """Online localization owns the window center while enabled: the
-        center slider greys out, the spin of the region follows the
-        localized TDOA (reference localizationStateChanged,
-        gccNMFInterface.py:514-521)."""
-        self.app.set_localization(enabled)
+        center slider greys out, the region follows the localized TDOA
+        (reference localizationStateChanged, gccNMFInterface.py:514-521)."""
+        self.view.set_localization(enabled)
         self.s_center.configure(state="disabled" if enabled else "normal")
 
     # ----------------------------------------------------------------- audio

@@ -389,11 +389,7 @@ class GCCNMFSeparator:
             # build a fresh one rather than mutating in place.
             sep = GCCNMFSeparator(replace(self.config, sample_rate=sr))
         result = sep.separate(stereo)
-        prefix = output_prefix or (
-            mixture_path[: -len("_mix.wav")]
-            if mixture_path.endswith("_mix.wav")
-            else mixture_path.rsplit(".", 1)[0]
-        )
+        prefix = output_prefix or wav.default_output_prefix(mixture_path)
         paths = []
         for i, est in enumerate(result["estimates"]):
             path = f"{prefix}_sim_{i + 1}.wav"

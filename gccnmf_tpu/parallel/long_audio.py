@@ -294,11 +294,7 @@ class LongAudioSeparator:
             chunks_sh, t_s, num_sources
         )
 
-        prefix = output_prefix or (
-            mixture_path[: -len("_mix.wav")]
-            if mixture_path.endswith("_mix.wav")
-            else mixture_path.rsplit(".", 1)[0]
-        )
+        prefix = output_prefix or wav.default_output_prefix(mixture_path)
         num_targets = int(owned.shape[1])
         gain = stft_gain(cfg)
         half = window // 2
@@ -363,11 +359,7 @@ class LongAudioSeparator:
                 replace(self.config, sample_rate=sr), self.mesh
             )
         result = sep.separate(stereo)
-        prefix = output_prefix or (
-            mixture_path[: -len("_mix.wav")]
-            if mixture_path.endswith("_mix.wav")
-            else mixture_path.rsplit(".", 1)[0]
-        )
+        prefix = output_prefix or wav.default_output_prefix(mixture_path)
         paths = []
         for i, est in enumerate(result["estimates"]):
             path = f"{prefix}_sim_{i + 1}.wav"

@@ -153,6 +153,16 @@ class RealtimeGCCNMF:
         """Per-dictionary-size coefficient-mask rings (lazily allocated)."""
         return self._mask_histories
 
+    def peek_dictionary(self) -> np.ndarray | None:
+        """The current engine's dictionary W, or None if no engine is built.
+
+        Never triggers a (re)build — safe from the GUI thread. Building
+        belongs to the audio thread's :meth:`process_block` under the
+        engine lock; a GUI-thread ``self.processor`` access would race it
+        (two engines built, one state lost, or a step on ``state=None``)."""
+        proc = self._processor  # atomic reference read; None mid-rebuild
+        return None if proc is None else np.asarray(proc.w)
+
     def _get_dictionary(self) -> np.ndarray:
         if self.config.dictionary_file:
             # explicit artifact (gccnmf-pretrain --save-dir handoff) wins

@@ -29,9 +29,27 @@ __all__ = [
     "float_to_pcm",
     "read_wav",
     "write_wav",
+    "default_output_prefix",
     "WavReader",
     "StreamingWavWriter",
 ]
+
+
+def default_output_prefix(mixture_path: str) -> str:
+    """Root for ``<prefix>_sim_<n>.wav`` output naming: strip a ``_mix.wav``
+    suffix, else the extension (reference getSourceEstimateFileName,
+    gccNMF/gccNMFFunctions.py:43-45). One definition for every separation
+    driver so the naming convention cannot drift between them."""
+    if mixture_path.endswith("_mix.wav"):
+        return mixture_path[: -len("_mix.wav")]
+    return mixture_path.rsplit(".", 1)[0]
+
+
+def _to_float32(pcm: np.ndarray) -> np.ndarray:
+    """PCM payload → float32 samples (float WAVs pass through)."""
+    if pcm.dtype.kind == "f":
+        return pcm.astype(np.float32)
+    return pcm_to_float(pcm)
 
 
 def pcm_to_float(sig: np.ndarray, dtype="float32") -> np.ndarray:
@@ -59,11 +77,7 @@ def float_to_pcm(sig: np.ndarray, dtype="int16") -> np.ndarray:
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file -> ``((channels, n) float32, sample_rate)``."""
     sample_rate, pcm = _sp_wavfile.read(path)
-    if pcm.dtype.kind == "f":
-        samples = pcm.astype(np.float32)
-    else:
-        samples = pcm_to_float(pcm)
-    return samples.T, sample_rate
+    return _to_float32(pcm).T, sample_rate
 
 
 class WavReader:
@@ -89,11 +103,7 @@ class WavReader:
         chunks; the final one may overhang the file)."""
         start = max(int(start), 0)
         end = min(start + int(count), self.num_samples)
-        chunk = np.asarray(self._pcm[start:end])
-        if chunk.dtype.kind == "f":
-            samples = chunk.astype(np.float32)
-        else:
-            samples = pcm_to_float(chunk)
+        samples = _to_float32(np.asarray(self._pcm[start:end]))
         samples = samples.T if samples.ndim == 2 else samples[None]
         if samples.shape[-1] < count:
             pad = np.zeros(

@@ -272,6 +272,49 @@ def test_region_edge_drag_resizes(gui_app):
     )
 
 
+def test_body_drag_against_edge_preserves_width(gui_app):
+    """Translating the region into a grid edge must not narrow epsilon
+    (pyqtgraph LinearRegionItem semantics: clamp the offset, keep the
+    span)."""
+    view, fig, _ = _make_view(gui_app)
+    m = view.model
+    n = gui_app.config.num_tdoas
+    m.set_region(n - 22.0, n - 12.0)  # width 5, near the right edge
+    view._redraw_editor()
+    ax = view.ax_curve
+    mid = n - 17.0
+    view._on_press(_mouse(fig, ax, "button_press_event", mid))
+    assert view._drag is not None and view._drag[0] == "move"
+    view._on_motion(_mouse(fig, ax, "motion_notify_event", n - 2.0))
+    view._on_release(None)
+    assert m.window_width == pytest.approx(5.0, abs=0.2)
+    assert float(np.asarray(gui_app.params.target_epsilon)) == pytest.approx(
+        m.window_width, abs=1e-4
+    )
+
+
+def test_disabling_localization_hands_center_to_engine(gui_app):
+    """After online localization is switched off, the engine's manual
+    target index must equal the last followed TDOA, not the stale
+    pre-localization value."""
+    view, fig, _ = _make_view(gui_app)
+    view.set_localization(True)
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        gui_app.process_block(
+            rng.standard_normal((2, gui_app.config.block_size)).astype(np.float32)
+            * 0.1
+        )
+    view.refresh()  # follow: model center ← localized TDOA
+    followed = view.model.tdoa
+    stale = float(np.asarray(gui_app.params.target_tdoa_index))
+    view.set_localization(False)
+    pushed = float(np.asarray(gui_app.params.target_tdoa_index))
+    assert pushed == pytest.approx(followed, abs=1e-4)
+    if abs(followed - stale) > 1e-3:
+        assert pushed != pytest.approx(stale, abs=1e-4)
+
+
 def test_slider_edits_move_region_and_curve(gui_app):
     view, fig, _ = _make_view(gui_app)
     view.set_model_params(tdoa=12.0, width=4.0, beta=2.5, noise_floor=0.3)
