@@ -207,6 +207,11 @@ def stream_main(argv=None):
     ap.add_argument("--dictionary-file", default=None,
                     help=".npy (F, K) dictionary artifact (bypasses "
                          "pretraining; e.g. from gccnmf-pretrain --save-dir)")
+    ap.add_argument("--num-h-updates", type=int, default=None,
+                    help="per-block H-inference steps against the frozen "
+                         "dictionary (H-aware Wiener mask); 0 = the "
+                         "reference's W-only realtime rule. Also settable "
+                         "as numHUpdates in the INI config")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -221,8 +226,13 @@ def stream_main(argv=None):
     )
     from gccnmf_tpu.utils import wav
 
+    overrides = {}
+    if args.num_h_updates is not None:
+        if args.num_h_updates < 0:
+            ap.error("--num-h-updates must be >= 0")
+        overrides["num_h_updates"] = args.num_h_updates
     cfg = load_config(args.config, audio_path=args.input,
-                      dictionary_file=args.dictionary_file)
+                      dictionary_file=args.dictionary_file, **overrides)
 
     # Flag validation needs only the config — do it before the expensive
     # startup work (WAV load, dictionary pretraining on a cold cache).

@@ -140,9 +140,7 @@ class OnlineGCCNMFEnhancer:
             v = jnp.mean(jnp.abs(spec), axis=-3)  # (..., T, F) channel-avg mags
             h0 = jnp.ones(v.shape[:-1] + (self.w.shape[1],), jnp.float32)
             h = nmf.h_infer(v, self.w, h0, cfg.num_h_updates, epsilon=cfg.epsilon)
-            num = jnp.einsum("...tk,fk->...tf", h * h_mask, self.w, precision=_HIGHEST())
-            den = jnp.einsum("...tk,fk->...tf", h, self.w, precision=_HIGHEST())
-            tf_mask = num / (den + cfg.epsilon)
+            tf_mask = masks.wiener_tf_mask_h(self.w, h, h_mask, cfg.epsilon)
         else:
             tf_mask = masks.wiener_tf_mask(self.w, h_mask)
 

@@ -95,6 +95,13 @@ class StreamConfig:
     extra_delay_blocks: int = 0
     analysis_window: str = "sqrt_hamming"  # or "asymmetric"
     synthesis_length: int = 256  # only for asymmetric windows
+    # per-block H inference steps against the frozen dictionary; 0 = the
+    # reference's W-only realtime rule. The reference plumbs numHUpdates
+    # into its processor but never infers H (gccNMFProcessor.py:195 vs
+    # :201-231) — here N>0 actually runs N multiplicative H updates and
+    # applies the H-aware Wiener mask. Structural (changes the compiled
+    # graph), like the reference's structural-param list intends (:131).
+    num_h_updates: int = 0
 
     @classmethod
     def from_app_config(cls, cfg, **overrides) -> "StreamConfig":
@@ -111,6 +118,7 @@ class StreamConfig:
             num_channels=cfg.num_channels,
             history_length=cfg.num_tdoa_history,
             target_mode=parse_target_mode(getattr(cfg, "target_mode", "window")),
+            num_h_updates=getattr(cfg, "num_h_updates", 0),
         )
         fields.update(overrides)
         return cls(**fields)
@@ -285,7 +293,18 @@ class RTGCCNMFProcessor:
                 params.target_beta,
                 params.noise_floor,
             )
-        tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (B, m, F)
+        if cfg.num_h_updates > 0:
+            # realize the reference's intended-but-dead numHUpdates: infer
+            # block-local coefficients against the frozen W and weight the
+            # mask by them (shared formula with the online enhancer)
+            from gccnmf_tpu.ops import nmf
+
+            v = jnp.mean(jnp.abs(spec), axis=1)  # (B, m, F) channel-avg mags
+            h0 = jnp.ones(v.shape[:-1] + (self.w.shape[1],), jnp.float32)
+            h = nmf.h_infer(v, self.w, h0, cfg.num_h_updates)
+            tf_mask = masks.wiener_tf_mask_h(self.w, h, h_mask)  # (B, m, F)
+        else:
+            tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (B, m, F)
         tf_mask = jnp.where(params.separation_enabled, tf_mask, 1.0)
         out_spec = tf_mask[:, None, :, :] * spec  # (B, C, m, F)
 

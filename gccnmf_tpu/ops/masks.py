@@ -31,6 +31,7 @@ __all__ = [
     "soft_tdoa_coefficient_mask",
     "boxcar_tdoa_coefficient_mask",
     "wiener_tf_mask",
+    "wiener_tf_mask_h",
 ]
 
 from gccnmf_tpu.ops import xprec as _xprec
@@ -231,3 +232,16 @@ def wiener_tf_mask(w: jax.Array, h_mask: jax.Array) -> jax.Array:
     (reference gccNMFProcessor.py:267-269)."""
     rec = jnp.einsum("...tk,fk->...tf", h_mask, w, precision=_HIGHEST())
     return rec / jnp.sum(w, axis=-1)
+
+
+def wiener_tf_mask_h(
+    w: jax.Array, h: jax.Array, h_mask: jax.Array, epsilon: float = 1e-16
+) -> jax.Array:
+    """H-aware Wiener mask ``W·(H⊙mask) / (W·H + ε)`` — the coefficient
+    energies the W-only rule approximates with a flat prior. This is what
+    the reference's plumbed-but-unused ``numHUpdates`` was for
+    (gccNMFProcessor.py:195 stores it, processFrames never infers H);
+    shared by the online enhancer and the streaming engine."""
+    num = jnp.einsum("...tk,fk->...tf", h * h_mask, w, precision=_HIGHEST())
+    den = jnp.einsum("...tk,fk->...tf", h, w, precision=_HIGHEST())
+    return num / (den + epsilon)

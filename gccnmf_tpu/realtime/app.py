@@ -300,6 +300,16 @@ class RealtimeGCCNMF:
         history under the old d is meaningless)."""
         self._reconfigure(microphone_separation_in_metres=float(metres))
 
+    def set_num_h_updates(self, n: int) -> None:
+        """Structural: 0 = the reference's W-only realtime mask; N>0 adds N
+        per-block H-inference steps and the H-aware Wiener mask (the
+        reference plumbs numHUpdates but never uses it,
+        gccNMFProcessor.py:195 vs :201-231). All state survives — only the
+        mask computation changes."""
+        if n < 0:
+            raise ValueError("num_h_updates must be >= 0")
+        self._reconfigure(num_h_updates=int(n))
+
     def set_target_mode(self, mode) -> None:
         """Structural: boxcar vs generalized-Gaussian coefficient mask
         (reference TARGET_MODE_* constants). All state survives — only the

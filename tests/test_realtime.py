@@ -180,3 +180,70 @@ class TestAsymmetricLowLatency:
             analysis_window="asymmetric", synthesis_length=64,
         )
         assert cfg.algorithmic_latency_s < 0.064
+
+
+class TestHUpdates:
+    """num_h_updates > 0 realizes the reference's plumbed-but-dead
+    numHUpdates (gccNMFProcessor.py:195 vs :201-231): per-block H inference
+    against the frozen W + the H-aware Wiener mask."""
+
+    def test_h_updates_change_output(self, stereo_signal, dictionary, rt_params):
+        mix, _ = stereo_signal
+        mix = mix[:, : 512 * 10]
+        base = RTGCCNMFProcessor(dictionary, StreamConfig()).enhance_signal(
+            mix, rt_params
+        )[0]
+        with_h = RTGCCNMFProcessor(
+            dictionary, StreamConfig(num_h_updates=5)
+        ).enhance_signal(mix, rt_params)[0]
+        assert base.shape == with_h.shape
+        assert not np.allclose(base, with_h, atol=1e-6)
+        # still a masked (energy-reduced) mixture, not garbage
+        assert 0 < (with_h**2).sum() <= (mix**2).sum() * 1.5
+        assert np.isfinite(with_h).all()
+
+    def test_all_pass_mask_cancels_h(self, stereo_signal, dictionary):
+        """With a boxcar mask wide enough to pass every atom, the H-aware
+        Wiener mask is W·H/(W·H+eps) ≈ 1 — output must match the plain
+        W-only all-pass path (num/den cancellation sanity)."""
+        from gccnmf_tpu.models.realtime import TARGET_MODE_BOXCAR
+
+        mix, _ = stereo_signal
+        mix = mix[:, : 512 * 8]
+        params = StreamParams.default(
+            target_tdoa_index=32.0,
+            target_epsilon=1e6,  # boxcar passes all TDOAs
+            localization_enabled=False,
+        )
+        cfg0 = StreamConfig(target_mode=TARGET_MODE_BOXCAR)
+        cfgh = StreamConfig(target_mode=TARGET_MODE_BOXCAR, num_h_updates=3)
+        want = RTGCCNMFProcessor(dictionary, cfg0).enhance_signal(mix, params)[0]
+        got = RTGCCNMFProcessor(dictionary, cfgh).enhance_signal(mix, params)[0]
+        np.testing.assert_allclose(
+            got, want, atol=1e-3 * max(float(np.abs(want).max()), 1e-9)
+        )
+
+    def test_app_structural_reconfig(self, tmp_path, stereo_signal, dictionary):
+        from gccnmf_tpu.config import load_config
+        from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+        from gccnmf_tpu.utils import wav as wavio
+
+        mix, sr = stereo_signal
+        path = str(tmp_path / "h_mix.wav")
+        wavio.write_wav(mix, path, sr)
+        app = RealtimeGCCNMF(
+            path,
+            config=load_config(
+                None, dictionary_size=64, dictionary_sizes=(64,),
+                localization_enabled=False,
+            ),
+            dictionaries={"Pretrained": {64: dictionary}},
+        )
+        block = mix[:, :512].copy()
+        out0 = app.process_block(block)
+        app.set_num_h_updates(4)
+        assert app.config.num_h_updates == 4
+        out_h = app.process_block(block)
+        assert out_h.shape == out0.shape and np.isfinite(out_h).all()
+        with pytest.raises(ValueError):
+            app.set_num_h_updates(-1)
