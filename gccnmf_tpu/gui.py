@@ -407,6 +407,16 @@ class RealtimeGCCNMFWindow:
             command=lambda v: self.app.set_dictionary(size=int(v)),
         ).pack(side=tk.LEFT)
 
+        # per-block H-inference steps (reference shows this spinbox but its
+        # engine never uses the value, gccNMFInterface.py:290-292; here it
+        # actually switches the mask — a structural rebuild between blocks)
+        tk.Label(bar, text="H upd").pack(side=tk.LEFT, padx=(8, 0))
+        self.h_var = tk.IntVar(value=int(getattr(cfg, "num_h_updates", 0)))
+        tk.Spinbox(
+            bar, from_=0, to=50, width=3, textvariable=self.h_var,
+            command=lambda: self.app.set_num_h_updates(int(self.h_var.get())),
+        ).pack(side=tk.LEFT)
+
     def _slider_edit(self, **kw):
         if self._syncing:
             return
