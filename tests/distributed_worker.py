@@ -26,6 +26,11 @@ def main() -> int:
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-iterations", type=int, required=True)
+    ap.add_argument("--streamed-mix", default=None,
+                    help="optional WAV path: also run disk-streamed "
+                         "long-audio separation over the cross-process "
+                         "mesh (covers separate_streamed's multiprocess "
+                         "gather output branch)")
     args = ap.parse_args()
 
     # 2 virtual CPU devices per process; force CPU before backend init
@@ -76,6 +81,30 @@ def main() -> int:
     assert not xs.is_fully_addressable
     gathered = mesh_lib.gather_to_host(xs)
 
+    extra = {}
+    if args.streamed_mix:
+        # disk-streamed separation on the global (cross-process) data mesh:
+        # input chunks load per-process via make_array_from_callback, the
+        # output side takes the multiprocess gather branch
+        # (long_audio.py separate_streamed, process_count > 1)
+        from gccnmf_tpu.models.offline import OfflineConfig
+        from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
+        from gccnmf_tpu.utils import wav as wavio
+
+        cfg = OfflineConfig(
+            num_iterations=8, dictionary_size=8, num_tdoas=32,
+            num_sources=2, mic_separation_m=0.5,
+        )
+        sep = LongAudioSeparator(cfg)  # data mesh over all global devices
+        prefix = args.out[: -len(".npz")] + "_streamed"
+        res = sep.separate_streamed(args.streamed_mix, output_prefix=prefix)
+        extra = dict(
+            streamed_est=np.stack(
+                [wavio.read_wav(p)[0] for p in res["paths"]]
+            ),
+            streamed_targets=np.asarray(res["target_tdoa_indexes"]),
+        )
+
     np.savez(
         args.out,
         w=np.asarray(w),
@@ -83,6 +112,7 @@ def main() -> int:
         x=x,
         process_count=jax.process_count(),
         device_count=ndev,
+        **extra,
     )
     return 0
 

@@ -221,7 +221,7 @@ class TestMultiProcess:
             s.bind(("127.0.0.1", 0))
             return s.getsockname()[1]
 
-    def _spawn_round(self, tmp_path, num_iterations, tag):
+    def _spawn_round(self, tmp_path, num_iterations, tag, streamed_mix=None):
         import os
         import subprocess
         import sys
@@ -248,7 +248,8 @@ class TestMultiProcess:
                         "--ckpt-dir", str(tmp_path / "ck"),
                         "--out", out,
                         "--num-iterations", str(num_iterations),
-                    ],
+                    ]
+                    + (["--streamed-mix", streamed_mix] if streamed_mix else []),
                     env=env,
                     stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT,
@@ -270,13 +271,56 @@ class TestMultiProcess:
     def test_multiprocess_train_gather_resume(self, tmp_path):
         import os
 
+        from gccnmf_tpu.utils import wav as wavio
+
+        # fixture mixture for the cross-process streamed separation: long
+        # enough for 16 frames per shard on the 4-device global mesh
+        g = np.random.default_rng(3)
+        n = 63 * 128 + 1024
+        t = np.arange(n) / 16000.0
+        s1 = (g.standard_normal(n) * np.sin(2 * np.pi * 3.0 * t)).astype(np.float32)
+        s2 = (g.standard_normal(n) * np.cos(2 * np.pi * 7.0 * t)).astype(np.float32)
+        mix = 0.2 * np.stack([s1 + np.roll(s2, 5), np.roll(s1, 5) + s2])
+        mix_path = str(tmp_path / "dist_mix.wav")
+        wavio.write_wav(mix.astype(np.float32), mix_path, 16000)
+
         # --- round 1: fresh 6-iteration run across 2 processes ------------
-        results = self._spawn_round(tmp_path, num_iterations=6, tag="r1")
+        results = self._spawn_round(
+            tmp_path, num_iterations=6, tag="r1", streamed_mix=mix_path
+        )
         for r in results:
             assert int(r["process_count"]) == self.NUM_PROCESSES
             assert int(r["device_count"]) == 2 * self.NUM_PROCESSES
             # gather_to_host assembled the full cross-process array
             np.testing.assert_array_equal(r["gathered"], r["x"])
+        # cross-process streamed separation: both processes wrote identical
+        # waveforms (the multiprocess gather branch of separate_streamed)...
+        np.testing.assert_array_equal(
+            results[0]["streamed_est"], results[1]["streamed_est"]
+        )
+        np.testing.assert_array_equal(
+            results[0]["streamed_targets"], results[1]["streamed_targets"]
+        )
+        # ...matching an in-process run on an equal-size (4-device) mesh up
+        # to int16 quantization + float32 reduction-order drift
+        from gccnmf_tpu.models.offline import OfflineConfig
+        from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
+
+        cfg = OfflineConfig(
+            num_iterations=8, dictionary_size=8, num_tdoas=32,
+            num_sources=2, mic_separation_m=0.5,
+        )
+        mesh4 = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        mix_q, _ = wavio.read_wav(mix_path)
+        want = LongAudioSeparator(cfg, mesh4).separate(mix_q)
+        assert list(results[0]["streamed_targets"]) == list(
+            want["target_tdoa_indexes"]
+        )
+        np.testing.assert_allclose(
+            results[0]["streamed_est"],
+            want["estimates"],
+            atol=4.0 / 32768.0,
+        )
         # both processes computed the SAME global dictionary
         np.testing.assert_allclose(
             results[0]["w"], results[1]["w"], rtol=1e-5, atol=1e-7
