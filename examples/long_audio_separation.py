@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--num-iterations", type=int, default=100)
     ap.add_argument("--dictionary-size", type=int, default=128)
     ap.add_argument("-o", "--output-prefix", default=None)
+    ap.add_argument("--streamed", action="store_true",
+                    help="disk-streamed I/O: mmap the input per shard and "
+                         "write outputs incrementally — O(chunk) host RAM "
+                         "for hour-scale files")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +46,10 @@ def main():
         dictionary_size=args.dictionary_size,
     )
     sep = LongAudioSeparator(cfg, mesh)
-    result = sep.separate_file(args.mixture, args.output_prefix)
+    if args.streamed:
+        result = sep.separate_streamed(args.mixture, args.output_prefix)
+    else:
+        result = sep.separate_file(args.mixture, args.output_prefix)
     print(f"{shards} time shards, {result['frames_processed']} frames")
     print("localized target TDOA indexes:", result["target_tdoa_indexes"])
     for path in result["paths"]:

@@ -152,6 +152,24 @@ def test_long_audio_separation_example(mix_wav, tmp_path, monkeypatch, capsys):
         _check_audio(p)
 
 
+def test_long_audio_separation_example_streamed(
+    mix_wav, tmp_path, monkeypatch, capsys
+):
+    prefix = str(tmp_path / "long_streamed")
+    _run_example(
+        "long_audio_separation",
+        [mix_wav, "--num-sources", "2", "--shards", "4",
+         "--num-iterations", "10", "--dictionary-size", "32",
+         "-o", prefix, "--streamed"],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    written = [l.split()[1] for l in out.splitlines() if l.startswith("wrote ")]
+    assert len(written) == 2
+    for p in written:
+        _check_audio(p)
+
+
 def test_evaluate_separation_example(tmp_path, monkeypatch, capsys):
     _run_example(
         "evaluate_separation",
