@@ -91,7 +91,17 @@ class WavReader:
 
     def __init__(self, path: str):
         self.path = path
-        self.sample_rate, pcm = _sp_wavfile.read(path, mmap=True)
+        try:
+            self.sample_rate, pcm = _sp_wavfile.read(path, mmap=True)
+        except ValueError:
+            # scipy cannot mmap non-power-of-two sample widths (24-bit
+            # PCM); fall back to an in-memory read — range reads still
+            # convert lazily, only the RAM bound degrades to O(file)
+            logger.warning(
+                "WavReader: %s cannot be memory-mapped, reading into RAM",
+                path,
+            )
+            self.sample_rate, pcm = _sp_wavfile.read(path)
         self._pcm = pcm
         self.num_samples = int(pcm.shape[0])
         self.num_channels = 1 if pcm.ndim == 1 else int(pcm.shape[1])

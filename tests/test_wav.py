@@ -133,3 +133,26 @@ def test_streaming_wav_writer_rejects_channel_mismatch(tmp_path):
     with pytest.raises(ValueError):
         w.write(np.zeros((3, 8), np.float32))
     w.close()
+
+
+def test_wav_reader_24bit_fallback(tmp_path):
+    """24-bit PCM cannot be memory-mapped by scipy; WavReader must fall
+    back to an in-memory read with identical samples."""
+    import struct
+
+    sr, n = 16000, 64
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-(2**23), 2**23, size=(n, 2))
+    data = b"".join(struct.pack("<i", v)[0:3] for v in vals.ravel())
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 6, 6, 24)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    path = tmp_path / "r24.wav"
+    path.write_bytes(hdr + data)
+    r = wav.WavReader(str(path))
+    assert r.sample_rate == sr and r.num_channels == 2
+    full, _ = wav.read_wav(str(path))
+    np.testing.assert_array_equal(r.read(0, n), full)
+    np.testing.assert_array_equal(r.read(10, 20), full[:, 10:30])
