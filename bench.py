@@ -189,14 +189,18 @@ def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     chunks = 4
     for _ in sep.separate_batches([batch_in], num_sources=3, io_dtype="int16"):
         pass  # warm/compile the int16 program outside the timed region
-    t0 = time.perf_counter()
-    for _ in sep.separate_batches(
-        (batch_in for _ in range(chunks)), num_sources=3, io_dtype="int16"
-    ):
-        pass
-    piped_thr = chunks * batch * stereo.shape[-1] / sr / (
-        time.perf_counter() - t0
-    )
+    # best of 2: the tunnel's throughput swings by integer factors between
+    # minutes (measured 18 s vs 350 s for identical warm runs), and the
+    # I/O-bound number is the one it distorts most
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in sep.separate_batches(
+            (batch_in for _ in range(chunks)), num_sources=3, io_dtype="int16"
+        ):
+            pass
+        best = min(best, time.perf_counter() - t0)
+    piped_thr = chunks * batch * stereo.shape[-1] / sr / best
     return device_thr, host_thr, piped_thr
 
 
