@@ -105,6 +105,11 @@ class GCCNMFFigureView:
         ax.set_yticks([])
         (self._gcc_line,) = ax.plot([], [], color="k", linewidth=1.0)
         (self._curve_line,) = ax.plot([], [], color="tab:blue", linewidth=2.0)
+        # localized-TDOA track drawn over the GCC waterfall (reference
+        # tdoaPlotDataItem, gccNMFInterface.py:391-399)
+        (self._tdoa_track,) = self.ax_gcc.plot(
+            [], [], color="w", linewidth=1.0, alpha=0.9
+        )
         lo, hi = self.model.region
         self._region_patch = ax.axvspan(lo, hi, color="tab:blue", alpha=0.18)
         self._tdoa_marker = ax.axvline(
@@ -257,10 +262,12 @@ class GCCNMFFigureView:
             self.ax_out, "out", compress(h["output_spectrogram"].get_unraveled().T),
             title="output spectrogram",
         )
-        self._imshow(
-            self.ax_gcc, "gcc", h["gcc_phat"].get_unraveled().T,
-            title="GCC-PHAT waterfall",
-        )
+        gcc_wf = h["gcc_phat"].get_unraveled().T
+        self._imshow(self.ax_gcc, "gcc", gcc_wf, title="GCC-PHAT waterfall")
+        track = h["tdoa"].get_unraveled()
+        self._tdoa_track.set_data(np.arange(track.size), track)
+        self.ax_gcc.set_xlim(0, max(track.size - 1, 1))
+        self.ax_gcc.set_ylim(0, gcc_wf.shape[0] - 1)
         # the active size's waterfall; switching sizes swaps the ring and the
         # old one keeps its history (reference per-size buffers,
         # runRealtimeGCCNMF.py:74-81); levels pinned to [0,1] like the
@@ -362,6 +369,16 @@ class RealtimeGCCNMFWindow:
         tk.Checkbutton(
             bar, text="localization", variable=self.loc_var,
             command=lambda: self._set_localization(self.loc_var.get()),
+        ).pack(side=tk.LEFT)
+        # sliding-window length for the online localizer (reference
+        # localziaitonWindowSizeSpinBox, gccNMFInterface.py:303-311)
+        self.loc_win_var = tk.IntVar(value=int(cfg.localization_window_size))
+        tk.Spinbox(
+            bar, from_=1, to=int(cfg.num_tdoa_history), width=3,
+            textvariable=self.loc_win_var,
+            command=lambda: self.app.set_localization(
+                self.loc_var.get(), window_size=int(self.loc_win_var.get())
+            ),
         ).pack(side=tk.LEFT)
 
         def slider(name, frm, to, init, cmd, resolution=0.1):

@@ -228,6 +228,10 @@ def test_figure_view_refresh_headless(gui_app):
     np.testing.assert_allclose(shown, expected, rtol=1e-5)
     # the live mean-GCC curve was populated
     assert view._gcc_line.get_xdata().size == gui_app.config.num_tdoas
+    # the localized-TDOA track rides the GCC waterfall
+    track = view._tdoa_track.get_ydata()
+    assert track.size == gui_app.config.num_tdoa_history
+    assert np.isfinite(track).all()
 
 
 def test_region_drag_updates_engine_params(gui_app):
