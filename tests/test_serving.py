@@ -255,3 +255,35 @@ def test_pipelined_close_still_returns_inflight_output(w, cfg):
     assert set(out) == {sid_a}  # tick 0's output, attributed to A
     tail = srv.flush()
     assert len(tail) == 1 and set(tail[0]) == {sid_b}
+
+
+def test_nan_tenant_is_isolated_and_recoverable(w, cfg):
+    """A tenant submitting NaN/Inf blocks must not poison co-tenants (the
+    step has no cross-batch reduction: every op is slot-local), and the
+    slot must come back clean after close/reopen (state reset)."""
+    blocks = _signal(4, 6, cfg)
+
+    srv_solo = StreamServer(w, cfg, max_streams=2)
+    sid_solo = srv_solo.open_stream()
+    solo_out = [
+        srv_solo.process({sid_solo: blocks[i]})[sid_solo] for i in range(6)
+    ]
+
+    srv = StreamServer(w, cfg, max_streams=2)
+    good = srv.open_stream()
+    bad = srv.open_stream()
+    poison = np.full((cfg.num_channels, cfg.block_size), np.nan, np.float32)
+    poison[0, 0] = np.inf
+    for i in range(4):
+        out = srv.process({good: blocks[i], bad: poison})
+        # the co-tenant's waveform is bit-for-bit the solo run's
+        np.testing.assert_allclose(out[good], solo_out[i], atol=1e-5)
+    out = srv.process({good: blocks[4], bad: poison})
+    assert not np.isfinite(out[bad]).all()
+    np.testing.assert_allclose(out[good], solo_out[4], atol=1e-5)
+    # recovery: retire the poisoned stream; the reused slot starts fresh
+    srv.close_stream(bad)
+    clean = srv.open_stream()
+    out = srv.process({good: blocks[5], clean: blocks[5]})
+    np.testing.assert_allclose(out[good], solo_out[5], atol=1e-5)
+    assert np.isfinite(out[clean]).all()
