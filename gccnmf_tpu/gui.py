@@ -423,6 +423,13 @@ class RealtimeGCCNMFWindow:
             *[str(s) for s in cfg.dictionary_sizes],
             command=lambda v: self.app.set_dictionary(size=int(v)),
         ).pack(side=tk.LEFT)
+        # Pretrained vs Random dictionary bank (reference
+        # dictionaryTypeChanged, gccNMFInterface.py:506-513)
+        self.dict_type_var = tk.StringVar(value=str(self.app.dictionary_type))
+        tk.OptionMenu(
+            bar, self.dict_type_var, "Pretrained", "Random",
+            command=lambda v: self.app.set_dictionary(type=str(v)),
+        ).pack(side=tk.LEFT)
 
         # per-block H-inference steps (reference shows this spinbox but its
         # engine never uses the value, gccNMFInterface.py:290-292; here it
