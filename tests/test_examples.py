@@ -180,3 +180,17 @@ def test_evaluate_separation_example(tmp_path, monkeypatch, capsys):
     assert "SIR gain" in out and "separated" in out
     gain = float(out.strip().splitlines()[-1].split(":")[1].replace("dB", ""))
     assert gain > 2.0  # separation must beat the mixture baseline
+
+
+def test_render_gui_preview_example(mix_wav, tmp_path, monkeypatch):
+    out = str(tmp_path / "preview.png")
+    _run_example(
+        "render_gui_preview",
+        [mix_wav, "-o", out, "--blocks", "8", "--dictionary-size", "16"],
+        monkeypatch,
+    )
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
