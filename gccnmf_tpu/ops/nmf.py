@@ -153,12 +153,23 @@ def h_infer(
 
     The online/streaming variant: per-frame coefficient inference against a
     pre-learned W (reference plumbs this as ``numHUpdates``,
-    gccNMF/realtime/config.py:73)."""
+    gccNMF/realtime/config.py:73).
+
+    The V/WH ratio is guarded: an all-zero frame (digital silence — an
+    idle serving slot, a muted source) collapses H to exact zero after the
+    first update, and an unguarded second update computes 0/0 → NaN that
+    then poisons the whole mask. Degenerate denominators take an explicit
+    0 branch (the double-where pattern — a plain ``maximum`` guard gets
+    rewritten by XLA into rsqrt forms that still produce inf·0); nonzero
+    frames never hit the branch, so positive-data results are bit-identical."""
     v = v.astype(jnp.float32)
     wsum = jnp.sum(w, axis=0) + sparsity_alpha + epsilon
+    tiny = 1e-30
 
     def body(_, h):
-        q = v / jnp.einsum("...tk,fk->...tf", h, w, precision=precision)
+        wh = jnp.einsum("...tk,fk->...tf", h, w, precision=precision)
+        ok = wh > tiny
+        q = jnp.where(ok, v / jnp.where(ok, wh, 1.0), 0.0)
         return h * jnp.einsum("...tf,fk->...tk", q, w, precision=precision) / wsum
 
     return jax.lax.fori_loop(0, num_updates, body, h0)

@@ -226,3 +226,40 @@ class TestPrecisionPolicy:
                 xprec.set_matmul_precision("bogus")
         finally:
             xprec.set_matmul_precision(old)
+
+
+class TestHInferSilence:
+    def test_h_infer_finite_on_zero_frames(self):
+        """Digital silence must not NaN-poison H inference: H collapses to
+        zero after one update and an unguarded second update divides 0/0
+        (the bug a concurrent-reconfig stress test caught in the streaming
+        engine with num_h_updates >= 2 on idle blocks)."""
+        import jax.numpy as jnp
+
+        from gccnmf_tpu.ops import nmf
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.random((17, 4)).astype(np.float32) + 1e-3)
+        v = jnp.zeros((6, 17), jnp.float32)
+        h = nmf.h_infer(v, w, jnp.ones((6, 4), jnp.float32), 3)
+        assert np.isfinite(np.asarray(h)).all()
+        np.testing.assert_array_equal(np.asarray(h), 0.0)
+
+    def test_h_infer_positive_data_unchanged_by_guard(self):
+        """The guard is a no-op on strictly positive data: identical to the
+        unguarded multiplicative updates."""
+        import jax.numpy as jnp
+
+        from gccnmf_tpu.ops import nmf
+
+        rng = np.random.default_rng(1)
+        w = rng.random((17, 4)).astype(np.float32) + 1e-3
+        v = rng.random((6, 17)).astype(np.float32) + 1e-3
+        h0 = np.ones((6, 4), np.float32)
+        got = np.asarray(nmf.h_infer(jnp.asarray(v), jnp.asarray(w), jnp.asarray(h0), 4))
+        h = h0.copy()
+        wsum = w.sum(0) + 1e-16
+        for _ in range(4):
+            q = v / (h @ w.T)
+            h = h * (q @ w) / wsum
+        np.testing.assert_allclose(got, h, rtol=1e-5)

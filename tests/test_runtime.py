@@ -185,6 +185,64 @@ class TestRealtimeApp:
         t.join()
         assert not errors, errors
 
+    def test_full_reconfig_storm_concurrent_with_blocks_and_gui_reads(self, app):
+        """Three-way contention mirroring the real window: the audio thread
+        pumps blocks, a control thread fires every structural reconfig
+        surface, and a GUI-style thread drains telemetry and peeks the
+        dictionary on a timer. No exceptions, finite outputs, no deadlock."""
+        import threading
+
+        block = np.zeros((2, app.config.block_size), np.float32)
+        app.process_block(block)
+        errors = []
+        stop = threading.Event()
+
+        def pump():
+            try:
+                for _ in range(40):
+                    out = app.process_block(block)
+                    assert out is not None and np.isfinite(out).all()
+            except Exception as e:
+                errors.append(e)
+            finally:
+                stop.set()
+
+        def gui_reads():
+            try:
+                while not stop.is_set():
+                    h = app.histories  # drains telemetry under the lock
+                    h["gcc_phat"].get_unraveled()
+                    h["coefficient_mask"].get_unraveled()
+                    app.peek_dictionary()
+            except Exception as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=pump),
+            threading.Thread(target=gui_reads),
+        ]
+        for t in threads:
+            t.start()
+        try:
+            app.set_num_tdoas(48)
+            app.set_dictionary(size=8)
+            app.set_mic_separation(0.2)
+            app.set_num_h_updates(2)
+            app.set_target_mode("boxcar")
+            app.set_dictionary(size=16)
+            app.set_num_h_updates(0)
+            app.set_target_mode("window")
+        except Exception as e:
+            errors.append(e)
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive(), "thread deadlocked"
+        assert not errors, errors
+        # the storm settled on a consistent engine
+        out = app.process_block(block)
+        assert out.shape == (2, app.config.block_size)
+        assert app.config.num_tdoas == 48 and app.dictionary_size == 16
+
     def test_dictionary_file_size_mismatch_syncs_telemetry(
         self, tmp_path, stereo_signal
     ):
