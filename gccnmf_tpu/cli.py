@@ -42,6 +42,12 @@ def separate_main(argv=None):
                     help="disk-streamed I/O for hour-scale files (requires "
                          "--time-shards): mmap input chunks per shard, "
                          "write outputs incrementally — O(chunk) host RAM")
+    ap.add_argument("--turbo", action="store_true",
+                    help="shared-Q simultaneous NMF updates (TPU): +14%% "
+                         "throughput, identical localization and "
+                         "ground-truth separation quality, but a different "
+                         "update trajectory than the reference (not the "
+                         "parity path)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -64,6 +70,9 @@ def separate_main(argv=None):
         dictionary_size=args.dictionary_size,
         num_iterations=args.num_iterations,
         sparsity_alpha=args.sparsity_alpha,
+        **(
+            {"nmf_matmul_dtype": "bfloat16_q_simul"} if args.turbo else {}
+        ),
         num_sources=None if args.auto_sources else args.num_sources,
         sample_rate=sr,
     )

@@ -58,7 +58,11 @@ class OfflineConfig:
     # quality (31.44 vs 31.43 dB min SNR vs the NumPy oracle, same
     # localization); "bfloat16" quantizes only GEMM operands (fp32
     # accumulation everywhere); "float32" (Precision.HIGHEST) for
-    # trajectory parity with the oracle
+    # trajectory parity with the oracle; "bfloat16_q_simul" (opt-in turbo)
+    # runs shared-Q simultaneous updates — 3 GEMMs + 1 divide/iteration
+    # instead of 4 + 2, +14% end-to-end separation throughput, identical
+    # localization and ground-truth BSS-Eval, PESQ 4.5 vs the oracle
+    # waveform (a different algorithm, never the parity path)
     nmf_matmul_dtype: str = "bfloat16_q"
     # Reconstruction tail: "pallas" fuses mask → magnitudes → mixture phase
     # → windowed iDFT → overlap-add into one VMEM-resident kernel
@@ -135,7 +139,7 @@ def gemm_dtype(cfg: OfflineConfig) -> str:
     "bfloat16_q" mode (bf16-resident V/q inside the NMF loop) maps to plain
     bf16 GEMMs everywhere else."""
     md = cfg.nmf_matmul_dtype
-    return "bfloat16" if md == "bfloat16_q" else md
+    return "bfloat16" if md in ("bfloat16_q", "bfloat16_q_simul") else md
 
 
 def plane_dtype(cfg: OfflineConfig) -> str:
@@ -173,6 +177,12 @@ class GCCNMFSeparator:
             return kl_nmf_pallas(
                 v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon,
                 matmul_dtype=cfg.nmf_matmul_dtype,
+            )
+        if cfg.nmf_matmul_dtype == "bfloat16_q_simul":
+            # the turbo algorithm must behave the same off-TPU (where the
+            # XLA path replaces the fused kernel); numerics are f32 here
+            return nmf.kl_nmf_simul(
+                v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon
             )
         return nmf.kl_nmf(
             v, w0, h0, cfg.num_iterations, cfg.sparsity_alpha, cfg.epsilon

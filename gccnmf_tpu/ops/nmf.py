@@ -139,6 +139,55 @@ def kl_nmf_minibatch_w(
     return jax.lax.fori_loop(0, num_iterations, body, (w0, h0))
 
 
+@partial(jax.jit, static_argnames=("num_iterations", "precision"))
+def kl_nmf_simul(
+    v: jax.Array,
+    w0: jax.Array,
+    h0: jax.Array,
+    num_iterations: int,
+    sparsity_alpha: float = 0.0,
+    epsilon: float = 1e-16,
+    precision=_HIGHEST,
+):
+    """Shared-Q simultaneous ("turbo") multiplicative updates — the XLA
+    twin of the Pallas ``bfloat16_q_simul`` mode so the turbo algorithm
+    behaves identically on backends without the fused kernel. One
+    Q = V/WH per iteration feeds both updates (the W update uses
+    pre-update H statistics): 3 GEMMs + 1 divide instead of 4 + 2. Both
+    updates apply the same gain correction, so the global scale is
+    recalibrated in closed form each iteration
+    (Σ(WH) = Σₖ(Σ_f W)(Σ_t H) = Σ(V)). A different algorithm from
+    :func:`kl_nmf` — opt-in, never the parity path."""
+    v = v.astype(jnp.float32)
+    v_sum = jnp.sum(v, axis=(-2, -1))  # per batch element
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    def body(_, wh):
+        w, h = wh
+        wt = jnp.swapaxes(w, -1, -2)
+        q = safe_div(v, _mm(h, wt, precision))
+        h_new = h * _mm(q, w, precision) / (
+            jnp.sum(w, axis=-2, keepdims=True) + sparsity_alpha + epsilon
+        )
+        num = jnp.einsum("...tf,...tk->...fk", q, h, precision=precision)
+        w_new = w * safe_div(num, jnp.sum(h, axis=-2, keepdims=True))
+        norms = jnp.sqrt(jnp.sum(w_new * w_new, axis=-2, keepdims=True))
+        w_new, h_new = safe_div(w_new, norms), h_new * norms
+        mass = jnp.sum(
+            jnp.sum(w_new, axis=-2) * jnp.sum(h_new, axis=-2), axis=-1
+        )
+        gain = jnp.where(
+            mass > tiny, v_sum / jnp.where(mass > tiny, mass, 1.0), 1.0
+        )
+        return w_new, h_new * gain[..., None, None]
+
+    return jax.lax.fori_loop(0, num_iterations, body, (w0, h0))
+
+
 @partial(jax.jit, static_argnames=("num_updates", "precision"))
 def h_infer(
     v: jax.Array,

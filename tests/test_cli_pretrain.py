@@ -111,6 +111,27 @@ class TestCLI:
             x, out_sr = wavio.read_wav(p)
             assert out_sr == sr and np.isfinite(x).all() and x.shape[0] == 2
 
+    def test_separate_cli_turbo(self, wav_file, tmp_path, capsys):
+        from gccnmf_tpu import cli
+
+        path, sr = wav_file
+        rc = cli.separate_main(
+            [
+                path,
+                "-o", str(tmp_path / "tb"),
+                "--num-sources", "2",
+                "--dictionary-size", "16",
+                "--num-iterations", "5",
+                "--turbo",
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["outputs"]) == 2
+        for p in info["outputs"]:
+            x, _ = wavio.read_wav(p)
+            assert np.isfinite(x).all()
+
     def test_separate_cli_streamed_requires_time_shards(self, wav_file):
         from gccnmf_tpu import cli
 
