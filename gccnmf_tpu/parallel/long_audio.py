@@ -183,6 +183,7 @@ class LongAudioSeparator:
         w, h = kl_nmf_sharded(
             v2, w0_sh, h0_sh, cfg.num_iterations, self.mesh,
             cfg.sparsity_alpha, cfg.epsilon,
+            simultaneous=(cfg.nmf_matmul_dtype == "bfloat16_q_simul"),
         )
 
         mean_ang = np.asarray(ang_sum) / t

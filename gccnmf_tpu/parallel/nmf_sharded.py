@@ -47,7 +47,9 @@ def pad_time(v: np.ndarray, h0: np.ndarray, multiple: int, epsilon: float = 1e-1
 
 @partial(
     jax.jit,
-    static_argnames=("num_iterations", "mesh", "sparsity_alpha", "epsilon"),
+    static_argnames=(
+        "num_iterations", "mesh", "sparsity_alpha", "epsilon", "simultaneous"
+    ),
 )
 def kl_nmf_sharded(
     v: jax.Array,
@@ -57,10 +59,18 @@ def kl_nmf_sharded(
     mesh: Mesh,
     sparsity_alpha: float = 0.0,
     epsilon: float = 1e-16,
+    simultaneous: bool = False,
 ):
     """Sharded KL-NMF. ``v``: (T, F) with T divisible by mesh 'data' size;
     ``w0``: (F, K) with K divisible by mesh 'model' size; ``h0``: (T, K).
     Returns (W, H) as global arrays (W replicated-equivalent, H time-sharded).
+
+    ``simultaneous=True`` is the distributed twin of the shared-Q turbo
+    mode (ops.nmf.kl_nmf_simul / Pallas "bfloat16_q_simul"): one Q = V/WH
+    per iteration feeds both updates — which here also removes one
+    reconstruction **psum over the model axis per iteration** (a comms
+    saving on a real slice, not just FLOPs). The scale recalibration
+    Σ(WH) = Σ(V) becomes one extra O(K) psum pair.
     """
     mp = mesh.shape["model"]
     k = w0.shape[1]
@@ -72,6 +82,8 @@ def kl_nmf_sharded(
         # v_l: (T/dp, F); w_l: (F, K/mp); h_l: (T/dp, K) replicated on model
         midx = jax.lax.axis_index("model")
         k_start = midx * k_local
+        # loop-invariant global V mass for the simultaneous-mode calibration
+        v_sum = jax.lax.psum(jnp.sum(v_l), "data") if simultaneous else None
 
         def h_slice(h):
             return jax.lax.dynamic_slice_in_dim(h, k_start, k_local, axis=1)
@@ -86,10 +98,13 @@ def kl_nmf_sharded(
             num_h = jnp.matmul(q, w_l, precision=_HIGHEST)  # (T/dp, K/mp)
             den_h = jnp.sum(w_l, axis=0) + sparsity_alpha + epsilon
             h_block = h_slice(h) * num_h / den_h
-            h = jax.lax.all_gather(h_block, "model", axis=1, tiled=True)
 
-            q = v_l / reconstruct(h, w_l)
-            h_blk = h_slice(h)
+            if simultaneous:
+                h_blk = h_slice(h)  # pre-update H rides the SAME q
+            else:
+                h = jax.lax.all_gather(h_block, "model", axis=1, tiled=True)
+                q = v_l / reconstruct(h, w_l)
+                h_blk = h_slice(h)
             num_w = jax.lax.psum(
                 jnp.einsum("tf,tk->fk", q, h_blk, precision=_HIGHEST), "data"
             )
@@ -98,7 +113,13 @@ def kl_nmf_sharded(
 
             norms = jnp.sqrt(jnp.sum(w_l * w_l, axis=0))  # (K/mp,) local atoms
             w_l = w_l / norms
-            h_block = h_blk * norms
+            h_block = (h_block if simultaneous else h_blk) * norms
+            if simultaneous:
+                # calibrate the global scale: both updates applied the same
+                # gain correction (see ops.nmf.kl_nmf_simul)
+                sh = jax.lax.psum(jnp.sum(h_block, axis=0), "data")  # (K/mp,)
+                mass = jax.lax.psum(jnp.sum(jnp.sum(w_l, axis=0) * sh), "model")
+                h_block = h_block * (v_sum / mass)
             h = jax.lax.all_gather(h_block, "model", axis=1, tiled=True)
             return w_l, h
 
