@@ -355,6 +355,16 @@ def realtime_main(argv=None):
     ap.add_argument("--dictionary-file", default=None,
                     help=".npy (F, K) dictionary artifact (bypasses "
                          "pretraining; e.g. from gccnmf-pretrain --save-dir)")
+    ap.add_argument("--live", action="store_true",
+                    help="capture input from the live audio device instead "
+                         "of a WAV file (requires a host audio stack, e.g. "
+                         "sounddevice; reference audioProcessor.py input "
+                         "callback)")
+    ap.add_argument("--live-output", action="store_true",
+                    help="play enhanced audio through the live output "
+                         "device when a host audio stack exists (reference "
+                         "audioProcessor.py:106-132); falls back to "
+                         "--output/-o (or discard) otherwise")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -371,7 +381,21 @@ def realtime_main(argv=None):
         # out. The built config carries --dictionary-file through.
         run_gui(args.input, config=cfg, loop=not args.no_loop)
         return 0
-    if args.loop and args.blocks is None:
+    source = None
+    if args.live:
+        from gccnmf_tpu.realtime.audio import open_input_stream
+
+        source = open_input_stream(
+            cfg.sample_rate, cfg.num_channels, cfg.block_size
+        )
+        if source is None:
+            ap.error(
+                "--live requires a host audio stack (sounddevice); none is "
+                "available — use -i <wav> for file input"
+            )
+        if args.blocks is None:
+            ap.error("--live requires --blocks (otherwise the run never ends)")
+    elif args.loop and args.blocks is None:
         ap.error("--loop requires --blocks (otherwise the run never ends)")
 
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
@@ -379,12 +403,18 @@ def realtime_main(argv=None):
     app = RealtimeGCCNMF(
         args.input, config=cfg, pipeline_depth=args.pipeline_depth
     )
-    stats = app.run(
-        output_path=args.output,
-        num_blocks=args.blocks,
-        loop=args.loop,
-        realtime=args.realtime_pace,
-    )
+    try:
+        stats = app.run(
+            output_path=args.output,
+            num_blocks=args.blocks,
+            loop=args.loop,
+            realtime=args.realtime_pace,
+            source=source,
+            live_output=args.live_output,
+        )
+    finally:
+        if source is not None:
+            source.close()
     print(json.dumps(stats))
     return 0
 
@@ -397,7 +427,6 @@ def serve_main(argv=None):
     whose files end close early; ticks continue until all streams drain.
     """
     import os
-    import time
 
     ap = argparse.ArgumentParser(description="Multi-stream GCC-NMF server")
     ap.add_argument("-i", "--inputs", nargs="+", required=True,
@@ -413,12 +442,16 @@ def serve_main(argv=None):
     ap.add_argument("--dictionary-size", type=int, default=None)
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop each stream after N blocks")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="ticks of dispatch pipelining: N>0 moves the "
+                         "host<->device round trip off the tick deadline "
+                         "path at the cost of N blocks of serving latency")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
         logging.basicConfig(level=logging.INFO)
 
-    from gccnmf_tpu import native, pretrain
+    from gccnmf_tpu import pretrain
     from gccnmf_tpu.config import load_config
     from gccnmf_tpu.models.realtime import StreamConfig
     from gccnmf_tpu.serving import StreamServer
@@ -428,7 +461,10 @@ def serve_main(argv=None):
     dict_size = args.dictionary_size or cfg.dictionary_size
     scfg = StreamConfig.from_app_config(cfg)
     w = _resolve_dictionary(cfg, size=dict_size)
-    server = StreamServer(w, scfg, max_streams=args.max_streams or len(args.inputs))
+    server = StreamServer(
+        w, scfg, max_streams=args.max_streams or len(args.inputs),
+        pipeline_depth=args.pipeline_depth,
+    )
 
     streams = {}
     for path in args.inputs:
@@ -439,30 +475,33 @@ def serve_main(argv=None):
         if args.blocks:
             nb = min(nb, args.blocks)
         sid = server.open_stream()
-        streams[sid] = dict(path=path, audio=audio, nb=nb, pos=0, out=[])
+        streams[sid] = dict(path=path, audio=audio, nb=nb, sub=0, out=[])
         if nb == 0:  # shorter than one block: nothing to process
             server.close_stream(sid)
 
-    times = native.BlockTimes(capacity=1024)
+    def collect(tick_out):
+        for sid, block in tick_out.items():
+            s = streams[sid]
+            s["out"].append(block)
+            if len(s["out"]) >= s["nb"]:
+                server.close_stream(sid)
+
+    # submission position and received count diverge under pipelining
+    # (outputs lag dispatch by pipeline_depth ticks); flush() drains the
+    # tail after the last submit, like the single-stream app's run()
     live = {sid for sid, s in streams.items() if s["nb"] > 0}
-    total_ticks = 0
     while live:
-        t0 = time.perf_counter()
         subs = {}
         for sid in list(live):
             s = streams[sid]
-            b = s["pos"]
+            b = s["sub"]
             subs[sid] = s["audio"][:, b * scfg.block_size:(b + 1) * scfg.block_size]
-        out = server.process(subs)
-        times.record(time.perf_counter() - t0)
-        total_ticks += 1
-        for sid, block in out.items():
-            s = streams[sid]
-            s["out"].append(block)
-            s["pos"] += 1
-            if s["pos"] >= s["nb"]:
-                server.close_stream(sid)
+            s["sub"] += 1
+            if s["sub"] >= s["nb"]:
                 live.discard(sid)
+        collect(server.process(subs))
+    for tick_out in server.flush():
+        collect(tick_out)
 
     os.makedirs(args.output_dir, exist_ok=True)
     outputs = []
@@ -479,14 +518,13 @@ def serve_main(argv=None):
                      else np.zeros((scfg.num_channels, 0), np.float32))
         wavio.write_wav(audio_out, path, scfg.sample_rate)
         outputs.append(path)
-    mn, mx, mean, n = times.stats()
+    # the server's own serving-clock accounting (ticks, deadline_misses,
+    # bounded-window tick times) — the multi-tenant analogue of
+    # gccnmf-realtime's deadline_misses output
     print(json.dumps(dict(
         outputs=outputs,
         streams=len(streams),
-        ticks=total_ticks,
-        tick_ms=dict(min=round(mn * 1e3, 3), mean=round(mean * 1e3, 3),
-                     max=round(mx * 1e3, 3), window=n),
-        deadline_ms=round(scfg.block_size / scfg.sample_rate * 1e3, 1),
+        **server.tick_stats(),
     )))
     return 0
 

@@ -199,21 +199,26 @@ class GCCNMFFigureView:
             return
         if zone is not None:
             lo, hi = self.model.region
-            self._drag = (zone, float(event.xdata), lo, hi)
+            # capture the true width at press time: the visible region may
+            # be clipped at a grid edge, and deriving width from (lo, hi)
+            # during a body drag would permanently narrow epsilon
+            self._drag = (zone, float(event.xdata), lo, hi,
+                          float(self.model.window_width))
 
     def _on_motion(self, event) -> None:
         if self._drag is None or event.xdata is None:
             return
         if event.inaxes is not self.ax_curve:
             return
-        zone, x0, lo0, hi0 = self._drag
+        zone, x0, lo0, hi0, width0 = self._drag
         x = float(event.xdata)
         if zone == "move":
             # width-preserving translation (pyqtgraph LinearRegionItem
             # semantics): set_region against a grid edge would clip one
-            # bound and permanently narrow epsilon
+            # bound and permanently narrow epsilon — restore the width
+            # captured at press time, not the clipped span
             self.model.set_tdoa((lo0 + hi0) / 2.0 + (x - x0))
-            self.model.set_window_width((hi0 - lo0) / 2.0)
+            self.model.set_window_width(width0)
         elif zone == "lo":
             self.model.set_region(x, hi0)
         else:  # "hi"
@@ -229,8 +234,15 @@ class GCCNMFFigureView:
     # ------------------------------------------------------------ rendering
 
     def _imshow(self, ax, key, data, cmap="magma", title=None, clim=None):
+        # Never ax.clear() here: ax_gcc also carries the localized-TDOA
+        # track line, and clearing would detach it (its set_data would then
+        # update an artist no longer on any axes). Remove only stale images.
+        if key in self._images and (
+            self._images[key].get_array().shape != data.shape
+        ):
+            self._images[key].remove()
+            del self._images[key]
         if key not in self._images:
-            ax.clear()
             self._images[key] = ax.imshow(
                 data, origin="lower", aspect="auto", cmap=cmap
             )
@@ -239,9 +251,6 @@ class GCCNMFFigureView:
             ax.set_xticks([])
             ax.set_yticks([])
         img = self._images[key]
-        if img.get_array().shape != data.shape:
-            del self._images[key]
-            return self._imshow(ax, key, data, cmap, title, clim)
         img.set_data(data)
         if clim is not None:
             img.set_clim(*clim)
@@ -311,11 +320,28 @@ class GCCNMFFigureView:
 
 
 class RealtimeGCCNMFWindow:
-    """Tk shell around a :class:`RealtimeGCCNMF` app + figure view."""
+    """Tk shell around a :class:`RealtimeGCCNMF` app + figure view.
 
-    def __init__(self, app, loop: bool = True):
-        import tkinter as tk
-        from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
+    ``tk_module`` and ``canvas_factory`` are injectable so the widget
+    wiring (toggle_play restart logic, spinbox/dropdown callbacks, the
+    close path) runs headlessly in the test suite against a stub Tk — only
+    the literal ``mainloop()`` needs a display. ``output_stream`` is a live
+    audio sink (``write(block)``; see
+    :class:`gccnmf_tpu.realtime.audio.CallbackOutputStream`); by default
+    the window asks :func:`open_output_stream` for a device-backed one and
+    plays enhanced blocks through it like the reference's callback-clocked
+    stream (audioProcessor.py:106-132) — without an audio stack the pump
+    discards output, as before."""
+
+    def __init__(self, app, loop: bool = True, tk_module=None,
+                 canvas_factory=None, output_stream=None):
+        if tk_module is None:
+            import tkinter as tk_module
+        tk = tk_module
+        if canvas_factory is None:
+            from matplotlib.backends.backend_tkagg import (
+                FigureCanvasTkAgg as canvas_factory,
+            )
         from matplotlib.figure import Figure
 
         self.app = app
@@ -323,13 +349,21 @@ class RealtimeGCCNMFWindow:
         self._playing = threading.Event()
         self._stop = threading.Event()
         self._worker: threading.Thread | None = None
+        if output_stream is None:
+            from gccnmf_tpu.realtime.audio import open_output_stream
+
+            cfg = app.config
+            output_stream = open_output_stream(
+                cfg.sample_rate, cfg.num_channels, cfg.block_size
+            )  # None without a host audio stack → pump discards output
+        self.output_stream = output_stream
 
         self.root = tk.Tk()
         self.root.title("RT-GCC-NMF (TPU)")
         self.root.protocol("WM_DELETE_WINDOW", self.close)
 
         fig = Figure(figsize=(11, 7), dpi=90)
-        self.canvas = FigureCanvasTkAgg(fig, master=self.root)
+        self.canvas = canvas_factory(fig, master=self.root)
         self.view = GCCNMFFigureView(fig, app, on_params_changed=self._sync_sliders)
         self.canvas.get_tk_widget().pack(side=tk.TOP, fill=tk.BOTH, expand=1)
 
@@ -471,13 +505,22 @@ class RealtimeGCCNMFWindow:
         source = FilePlayerSource(
             self.app.audio_path, cfg.block_size, loop=self.loop, realtime=True
         )
+        stream = self.output_stream
         for block in source.blocks():
             if self._stop.is_set():
                 return
             self._playing.wait()
             if self._stop.is_set():
                 return
-            self.app.process_block(block)
+            out = self.app.process_block(block)
+            # play the enhanced block live (the reference demo's entire
+            # point: audioProcessor.py:106-132); without an audio backend
+            # stream is None and the output is discarded as before
+            if out is not None and stream is not None:
+                stream.write(out)
+        if stream is not None:  # file ended: drain the dispatch pipeline
+            for out in self.app.flush():
+                stream.write(out)
 
     def toggle_play(self):
         # a dead worker (file ended with loop=False, or the pump died)
@@ -513,6 +556,8 @@ class RealtimeGCCNMFWindow:
         self._playing.set()  # release a paused worker so it can exit
         if self._worker is not None:
             self._worker.join(timeout=2.0)
+        if self.output_stream is not None:
+            self.output_stream.close()
         self.root.destroy()
 
 

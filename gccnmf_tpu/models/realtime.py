@@ -102,6 +102,10 @@ class StreamConfig:
     # applies the H-aware Wiener mask. Structural (changes the compiled
     # graph), like the reference's structural-param list intends (:131).
     num_h_updates: int = 0
+    # numerical floor shared with the offline stack's SeparationConfig
+    # (models/offline.py:80) so the two consumers of the H-aware Wiener
+    # mask agree when a config overrides it
+    epsilon: float = 1e-16
 
     @classmethod
     def from_app_config(cls, cfg, **overrides) -> "StreamConfig":
@@ -119,6 +123,7 @@ class StreamConfig:
             history_length=cfg.num_tdoa_history,
             target_mode=parse_target_mode(getattr(cfg, "target_mode", "window")),
             num_h_updates=getattr(cfg, "num_h_updates", 0),
+            epsilon=getattr(cfg, "epsilon", 1e-16),
         )
         fields.update(overrides)
         return cls(**fields)
@@ -301,8 +306,12 @@ class RTGCCNMFProcessor:
 
             v = jnp.mean(jnp.abs(spec), axis=1)  # (B, m, F) channel-avg mags
             h0 = jnp.ones(v.shape[:-1] + (self.w.shape[1],), jnp.float32)
-            h = nmf.h_infer(v, self.w, h0, cfg.num_h_updates)
-            tf_mask = masks.wiener_tf_mask_h(self.w, h, h_mask)  # (B, m, F)
+            h = nmf.h_infer(
+                v, self.w, h0, cfg.num_h_updates, epsilon=cfg.epsilon
+            )
+            tf_mask = masks.wiener_tf_mask_h(
+                self.w, h, h_mask, epsilon=cfg.epsilon
+            )  # (B, m, F)
         else:
             tf_mask = masks.wiener_tf_mask(self.w, h_mask)  # (B, m, F)
         tf_mask = jnp.where(params.separation_enabled, tf_mask, 1.0)

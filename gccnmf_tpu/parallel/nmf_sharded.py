@@ -92,9 +92,22 @@ def kl_nmf_sharded(
             partial_wh = jnp.matmul(h_slice(h), w_local.T, precision=_HIGHEST)
             return jax.lax.psum(partial_wh, "model")  # (T/dp, F)
 
+        # divide discipline matches the single-device twins: the parity
+        # path mirrors kl_nmf (unguarded, reference semantics), the
+        # simultaneous turbo path mirrors kl_nmf_simul's double-where
+        # silence guards — positive data takes the identical bit path,
+        # digital silence yields zeros instead of 0/0 → NaN (ADVICE r2)
+        tiny = 1e-30
+
+        def safe_div(a, b):
+            ok = b > tiny
+            return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+        div = safe_div if simultaneous else (lambda a, b: a / b)
+
         def body(_, carry):
             w_l, h = carry
-            q = v_l / reconstruct(h, w_l)
+            q = div(v_l, reconstruct(h, w_l))
             num_h = jnp.matmul(q, w_l, precision=_HIGHEST)  # (T/dp, K/mp)
             den_h = jnp.sum(w_l, axis=0) + sparsity_alpha + epsilon
             h_block = h_slice(h) * num_h / den_h
@@ -103,23 +116,26 @@ def kl_nmf_sharded(
                 h_blk = h_slice(h)  # pre-update H rides the SAME q
             else:
                 h = jax.lax.all_gather(h_block, "model", axis=1, tiled=True)
-                q = v_l / reconstruct(h, w_l)
+                q = div(v_l, reconstruct(h, w_l))
                 h_blk = h_slice(h)
             num_w = jax.lax.psum(
                 jnp.einsum("tf,tk->fk", q, h_blk, precision=_HIGHEST), "data"
             )
             den_w = jax.lax.psum(jnp.sum(h_blk, axis=0), "data")
-            w_l = w_l * num_w / den_w
+            w_l = w_l * div(num_w, den_w)
 
             norms = jnp.sqrt(jnp.sum(w_l * w_l, axis=0))  # (K/mp,) local atoms
-            w_l = w_l / norms
+            w_l = div(w_l, norms)
             h_block = (h_block if simultaneous else h_blk) * norms
             if simultaneous:
                 # calibrate the global scale: both updates applied the same
                 # gain correction (see ops.nmf.kl_nmf_simul)
                 sh = jax.lax.psum(jnp.sum(h_block, axis=0), "data")  # (K/mp,)
                 mass = jax.lax.psum(jnp.sum(jnp.sum(w_l, axis=0) * sh), "model")
-                h_block = h_block * (v_sum / mass)
+                gain = jnp.where(
+                    mass > tiny, v_sum / jnp.where(mass > tiny, mass, 1.0), 1.0
+                )
+                h_block = h_block * gain
             h = jax.lax.all_gather(h_block, "model", axis=1, tiled=True)
             return w_l, h
 

@@ -490,20 +490,44 @@ class RealtimeGCCNMF:
         num_blocks: int | None = None,
         loop: bool = False,
         realtime: bool = False,
+        source=None,
+        output_stream=None,
+        live_output: bool = False,
     ) -> dict:
-        """Stream the source file through the enhancer.
+        """Stream a block source through the enhancer.
+
+        ``source`` is any two-method block source (``.blocks()`` iterator +
+        ``.sample_rate``) — :class:`FilePlayerSource` over ``audio_path``
+        by default, or a :class:`LiveRingSource` fed by a device callback
+        for live capture. Enhanced blocks go to the WAV sink
+        (``output_path``) and/or a live ``output_stream`` (anything with
+        ``write(block)``; see :class:`CallbackOutputStream` — the reference
+        plays every enhanced block through a callback-clocked stream,
+        audioProcessor.py:106-132). ``live_output=True`` asks
+        :func:`open_output_stream` for a device-backed stream and falls
+        back to sink-only when no audio stack exists.
 
         Returns stats: blocks processed, per-block wall-time percentiles,
-        deadline misses, and the output path (if a sink was used).
+        deadline misses, output-stream underrun/overrun counts (the
+        device-clock deadline accounting), and the output path.
         """
+        from gccnmf_tpu.realtime.audio import open_output_stream
+
         cfg = self.config
-        source = FilePlayerSource(
-            self.audio_path, cfg.block_size, loop=loop, realtime=realtime
-        )
+        if source is None:
+            source = FilePlayerSource(
+                self.audio_path, cfg.block_size, loop=loop, realtime=realtime
+            )
         if source.sample_rate != cfg.sample_rate:
             self.config = dc_replace(self.config, sample_rate=source.sample_rate)
             self._processor = None
         sink = WavSink(output_path, source.sample_rate) if output_path else None
+        opened_stream = False
+        if output_stream is None and live_output:
+            output_stream = open_output_stream(
+                source.sample_rate, cfg.num_channels, cfg.block_size
+            )
+            opened_stream = output_stream is not None
 
         deadline = cfg.block_size / source.sample_rate
         times: list[float] = []
@@ -512,8 +536,11 @@ class RealtimeGCCNMF:
             t0 = time.perf_counter()
             out = self.process_block(block)
             times.append(time.perf_counter() - t0)
-            if sink is not None and out is not None:
-                sink.write(out)
+            if out is not None:
+                if sink is not None:
+                    sink.write(out)
+                if output_stream is not None:
+                    output_stream.write(out)
             count += 1
             if num_blocks is not None and count >= num_blocks:
                 break
@@ -522,6 +549,8 @@ class RealtimeGCCNMF:
         for out in self.flush():
             if sink is not None:
                 sink.write(out)
+            if output_stream is not None:
+                output_stream.write(out)
 
         stats = dict(
             blocks=count,
@@ -530,6 +559,12 @@ class RealtimeGCCNMF:
             deadline_ms=round(deadline * 1e3, 3),
             deadline_misses=int(np.sum(np.asarray(times) > deadline)) if times else 0,
         )
+        if output_stream is not None:
+            # the callback clock's verdict on the same run (live path)
+            stats["output_underruns"] = getattr(output_stream, "underruns", 0)
+            stats["output_overruns"] = getattr(output_stream, "overruns", 0)
+            if opened_stream:
+                output_stream.close()
         if sink is not None:
             stats["output"] = sink.close()
         return stats

@@ -26,7 +26,14 @@ from gccnmf_tpu.utils import wav as wavio
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["FilePlayerSource", "LiveRingSource", "WavSink", "open_output_stream"]
+__all__ = [
+    "FilePlayerSource",
+    "LiveRingSource",
+    "WavSink",
+    "CallbackOutputStream",
+    "open_output_stream",
+    "open_input_stream",
+]
 
 
 class FilePlayerSource:
@@ -112,6 +119,9 @@ class LiveRingSource:
         self._ring = native.SpscRing(capacity_blocks * self._samples_per_block)
         self.overruns = 0
         self.closed = False
+        #: optional device backend (an object with .stop()); set by
+        #: :func:`open_input_stream` when a real audio stack exists
+        self.backend = None
 
     # ------------------------------------------------- producer (callback)
 
@@ -146,6 +156,13 @@ class LiveRingSource:
 
     def close(self) -> None:
         self.closed = True
+        backend = self.backend
+        self.backend = None
+        if backend is not None:
+            try:  # pragma: no cover - device-dependent
+                backend.stop()
+            except Exception:
+                logger.warning("audio input backend failed to stop", exc_info=True)
 
     # --------------------------------------------------- consumer (DSP loop)
 
@@ -183,20 +200,199 @@ class WavSink:
         return self.path
 
 
-def open_output_stream(sample_rate: int, num_channels: int, block_size: int):
-    """Live audio output via sounddevice/pyaudio if available, else None.
+class CallbackOutputStream:
+    """Callback-clocked live audio output.
 
-    Neither library is bundled in this image; the realtime app falls back to
-    a WavSink when this returns None.
+    The reference routes every enhanced block back into a PyAudio output
+    stream whose device callback pulls interleaved frames on the hardware
+    clock (reference createAudioStream + the write path,
+    gccNMF/realtime/audioProcessor.py:106-132,183-208). Here the exchange
+    is the same lock-free SPSC ring the input side uses
+    (gccnmf_tpu/native/src/gccnmf_rt.cpp): the DSP loop ``write()``s planar
+    enhanced blocks (interleaved into the ring), the device callback
+    thread ``callback(num_frames)``s fixed-size interleaved frames —
+    neither side ever blocks the other.
+
+    Accounting makes the callback clock the deadline arbiter:
+
+    - ``underruns``: the callback found fewer frames than the device asked
+      for — the DSP missed the hardware deadline; the gap plays as silence.
+    - ``overruns``: ``write()`` found the ring full (the device stalled or
+      the writer is ahead of real time) — the block is dropped, the write
+      returns ``False``.
+    """
+
+    def __init__(
+        self,
+        sample_rate: int,
+        num_channels: int = 2,
+        block_size: int = 512,
+        capacity_blocks: int = 8,
+    ):
+        from gccnmf_tpu import native
+
+        self.sample_rate = sample_rate
+        self.num_channels = num_channels
+        self.block_size = block_size
+        self._ring = native.SpscRing(capacity_blocks * num_channels * block_size)
+        self.underruns = 0
+        self.overruns = 0
+        self.frames_written = 0
+        self.frames_played = 0
+        self.closed = False
+        #: optional device backend (an object with .stop()); set by
+        #: :func:`open_output_stream` when a real audio stack exists
+        self.backend = None
+
+    # ----------------------------------------------------- writer (DSP loop)
+
+    def write(self, block: np.ndarray) -> bool:
+        """Queue a planar (num_channels, n) float32 block; False on overrun.
+
+        All-or-nothing like the input ring: a partial write would desync
+        the interleaved frame framing.
+        """
+        block = np.asarray(block, np.float32)
+        if block.ndim != 2 or block.shape[0] != self.num_channels:
+            raise ValueError(
+                f"write expects ({self.num_channels}, n), got {block.shape}"
+            )
+        flat = np.ascontiguousarray(block.T).ravel()  # interleave frames
+        if self._ring.writable() < flat.size:
+            self.overruns += 1
+            return False
+        self._ring.write(flat)
+        self.frames_written += block.shape[1]
+        return True
+
+    @property
+    def pending_frames(self) -> int:
+        """Frames queued but not yet pulled by the callback."""
+        return self._ring.readable() // self.num_channels
+
+    # ---------------------------------------------- reader (device callback)
+
+    def callback(self, num_frames: int) -> np.ndarray:
+        """Pull ``num_frames`` interleaved frames on the device clock.
+
+        Returns a ``(num_frames, num_channels)`` float32 array; a shortfall
+        is padded with silence and counted as one underrun (unless the
+        stream is closed and simply draining its tail).
+        """
+        c = self.num_channels
+        want = num_frames * c
+        # writes are whole frames, so readable() is a multiple of c
+        got = min(want, self._ring.readable())
+        out = np.zeros(want, np.float32)
+        if got:
+            out[:got] = self._ring.read(got)
+        if got < want and not self.closed:
+            self.underruns += 1
+        self.frames_played += got // c
+        return out.reshape(num_frames, c)
+
+    def close(self) -> None:
+        """Stop accepting writes; stop the device backend if one is attached.
+        The callback may keep firing to drain the tail — post-close
+        shortfalls are expected and not counted as underruns."""
+        self.closed = True
+        backend = self.backend
+        self.backend = None
+        if backend is not None:
+            try:  # pragma: no cover - device-dependent
+                backend.stop()
+            except Exception:
+                logger.warning("audio output backend failed to stop", exc_info=True)
+
+
+def _sounddevice_output_backend(stream: "CallbackOutputStream"):
+    """Clock ``stream.callback`` from a sounddevice OutputStream, or None.
+
+    sounddevice is not bundled in this image; deployments with a host audio
+    stack get the real device clock, everything else falls back cleanly.
     """
     try:  # pragma: no cover - depends on optional host audio stack
         import sounddevice  # type: ignore
 
-        stream = sounddevice.OutputStream(
-            samplerate=sample_rate, channels=num_channels, blocksize=block_size
+        def cb(outdata, frames, _time, _status):
+            outdata[:] = stream.callback(frames)
+
+        dev = sounddevice.OutputStream(
+            samplerate=stream.sample_rate,
+            channels=stream.num_channels,
+            blocksize=stream.block_size,
+            dtype="float32",
+            callback=cb,
         )
-        stream.start()
-        return stream
+        dev.start()
+        return dev
     except Exception:
-        logger.info("no live audio backend available; use WavSink")
         return None
+
+
+def open_output_stream(
+    sample_rate: int,
+    num_channels: int,
+    block_size: int,
+    backend_factory=None,
+):
+    """Live audio output: a :class:`CallbackOutputStream` clocked by a
+    device backend, or ``None`` when no backend exists (the realtime app
+    falls back to a WavSink / discard).
+
+    ``backend_factory(stream) -> backend|None`` is injectable so headless
+    tests can drive the full source→engine→output-callback path with a mock
+    clock (reference equivalent: createAudioStream,
+    audioProcessor.py:183-208).
+    """
+    stream = CallbackOutputStream(sample_rate, num_channels, block_size)
+    factory = backend_factory or _sounddevice_output_backend
+    backend = factory(stream)
+    if backend is None:
+        logger.info("no live audio output backend available; use WavSink")
+        return None
+    stream.backend = backend
+    return stream
+
+
+def open_input_stream(
+    sample_rate: int,
+    num_channels: int,
+    block_size: int,
+    backend_factory=None,
+):
+    """Live audio capture: a :class:`LiveRingSource` fed by a device input
+    callback, or ``None`` when no backend exists.
+
+    ``backend_factory(source) -> backend|None`` is injectable the same way
+    as :func:`open_output_stream`'s. The returned source carries the
+    backend on ``.backend`` so ``close()``-ing the app can stop the device.
+    """
+    source = LiveRingSource(sample_rate, num_channels, block_size)
+
+    def _sounddevice_input_backend(src):
+        try:  # pragma: no cover - depends on optional host audio stack
+            import sounddevice  # type: ignore
+
+            def cb(indata, _frames, _time, _status):
+                src.push_planar(np.asarray(indata, np.float32).T)
+
+            dev = sounddevice.InputStream(
+                samplerate=src.sample_rate,
+                channels=src.num_channels,
+                blocksize=src.block_size,
+                dtype="float32",
+                callback=cb,
+            )
+            dev.start()
+            return dev
+        except Exception:
+            return None
+
+    factory = backend_factory or _sounddevice_input_backend
+    backend = factory(source)
+    if backend is None:
+        logger.info("no live audio input backend available")
+        return None
+    source.backend = backend
+    return source

@@ -32,6 +32,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass
 
 import jax
@@ -113,6 +114,18 @@ class StreamServer:
         self.pipeline_depth = pipeline_depth
         # (device_out, {stream_id: slot} at dispatch time) awaiting fetch
         self._inflight: list = []
+        # per-tick deadline accounting on the serving clock: every tick
+        # must complete within one block interval or every tenant glitches
+        # at once (the single-stream analogue is run()'s deadline_misses,
+        # realtime/app.py). Percentiles come from a bounded native window;
+        # the miss/tick counters are cumulative so multi-minute soaks
+        # don't grow host memory.
+        from gccnmf_tpu import native
+
+        self.deadline_s = config.block_size / config.sample_rate
+        self._tick_times = native.BlockTimes(capacity=1024)
+        self.ticks = 0
+        self.deadline_misses = 0
 
     def _place(self, tree):
         """Shard every leaf's leading slot axis over the mesh (no-op
@@ -218,6 +231,7 @@ class StreamServer:
         ``pipeline_depth`` N>0, the outputs of the tick N calls ago (the
         empty dict while the pipeline fills).
         """
+        t0 = time.perf_counter()
         cfg = self.config
         batch = np.zeros(
             (self.max_streams, cfg.num_channels, cfg.block_size), np.float32
@@ -246,12 +260,39 @@ class StreamServer:
             # own audio back
             self._inflight.append((out, {s: self._ids[s] for s in blocks}))
             if len(self._inflight) <= self.pipeline_depth:
+                self._record_tick(t0)
                 return {}
             out, submitted = self._inflight.pop(0)
         else:
             submitted = {s: self._ids[s] for s in blocks}
         out_np = np.asarray(out)
-        return {sid: out_np[slot] for sid, slot in submitted.items()}
+        result = {sid: out_np[slot] for sid, slot in submitted.items()}
+        self._record_tick(t0)
+        return result
+
+    def _record_tick(self, t0: float) -> None:
+        dt = time.perf_counter() - t0
+        self._tick_times.record(dt)
+        self.ticks += 1
+        if dt > self.deadline_s:
+            self.deadline_misses += 1
+
+    def tick_stats(self) -> dict:
+        """Serving-clock health: cumulative tick/deadline-miss counters plus
+        wall-time stats over the recent (bounded) window — the multi-tenant
+        analogue of ``RealtimeGCCNMF.run``'s per-block stats."""
+        mn, mx, mean, n = self._tick_times.stats()
+        return dict(
+            ticks=self.ticks,
+            deadline_ms=round(self.deadline_s * 1e3, 3),
+            deadline_misses=self.deadline_misses,
+            tick_ms=dict(
+                min=round(mn * 1e3, 3),
+                mean=round(mean * 1e3, 3),
+                max=round(mx * 1e3, 3),
+                window=n,
+            ),
+        )
 
     def flush(self) -> list[dict[int, np.ndarray]]:
         """Drain pipelined ticks (oldest first) after the last submit."""

@@ -300,9 +300,25 @@ def test_serve_cli(tmp_path, monkeypatch, capsys, wav_file):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["streams"] == 2 and result["ticks"] == 8
     assert len(set(result["outputs"])) == 2
+    # serving-clock deadline accounting in the serve output (VERDICT r2
+    # item 8) — same surface as gccnmf-realtime's run() stats
+    assert result["deadline_ms"] == pytest.approx(32.0)
+    assert 0 <= result["deadline_misses"] <= result["ticks"]
+    assert result["tick_ms"]["window"] == 8
     for p in result["outputs"]:
         x, sr = wavio.read_wav(p)
         assert np.isfinite(x).all() and x.shape[-1] > 0
+
+    # pipelined serve must produce byte-identical output files
+    out_dir2 = str(tmp_path / "out2")
+    serve_main(["-i", dev_wav, dev_wav, "-o", out_dir2, "--blocks", "8",
+                "--dictionary-size", "64", "--pipeline-depth", "2"])
+    result2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result2["ticks"] == 8
+    for p1, p2 in zip(sorted(result["outputs"]), sorted(result2["outputs"])):
+        x1, _ = wavio.read_wav(p1)
+        x2, _ = wavio.read_wav(p2)
+        np.testing.assert_array_equal(x1, x2)
 
 
 class TestPretrainCLI:

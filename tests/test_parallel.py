@@ -67,6 +67,40 @@ class TestShardedNMF:
         after = float(nmf.kl_divergence(jnp.asarray(v), w, h))
         assert after < before
 
+    def test_simultaneous_silence_stays_finite(self, problem):
+        """Digitally silent input must not NaN the sharded turbo path — the
+        same 0/0 the single-device kl_nmf_simul / Pallas twins guard
+        (ADVICE r2: gain calibration, plus the w-normalization divide)."""
+        _, w0, h0 = problem
+        v = np.zeros((192, 129), np.float32)
+        m = mesh_lib.make_mesh(data=4, model=2)
+        w, h = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 6, m,
+            simultaneous=True,
+        )
+        assert np.isfinite(np.asarray(w)).all()
+        assert np.isfinite(np.asarray(h)).all()
+
+    @pytest.mark.parametrize("dp,mp", [(4, 2), (2, 4)])
+    def test_simultaneous_matches_single_device_twin(self, problem, dp, mp):
+        """Sharded turbo must track ops.nmf.kl_nmf_simul (same algorithm,
+        distributed), including after the guard refactor."""
+        v, w0, h0 = problem
+        w_ref, h_ref = nmf.kl_nmf_simul(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 15
+        )
+        m = mesh_lib.make_mesh(data=dp, model=mp)
+        w_got, h_got = nmf_sharded.kl_nmf_sharded(
+            jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0), 15, m,
+            simultaneous=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_got), np.asarray(w_ref), atol=5e-3, rtol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_got), np.asarray(h_ref), atol=5e-3, rtol=5e-2
+        )
+
     def test_pad_time_roundtrip(self, problem):
         v, _, h0 = problem
         v2, h2, t = nmf_sharded.pad_time(v[:100], h0[:100], 8)

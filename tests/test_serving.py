@@ -287,3 +287,90 @@ def test_nan_tenant_is_isolated_and_recoverable(w, cfg):
     out = srv.process({good: blocks[5], clean: blocks[5]})
     np.testing.assert_allclose(out[good], solo_out[5], atol=1e-5)
     assert np.isfinite(out[clean]).all()
+
+
+def test_tick_stats_and_deadline_accounting(w, cfg):
+    """Per-tick deadline accounting on the serving clock (VERDICT r2 item
+    8): cumulative tick/miss counters plus bounded-window wall times,
+    surfaced by gccnmf-serve's JSON output via tick_stats()."""
+    srv = StreamServer(w, cfg, max_streams=2)
+    sid = srv.open_stream()
+    blocks = _signal(3, 4, cfg)
+    for i in range(4):
+        srv.process({sid: blocks[i]})
+    st = srv.tick_stats()
+    assert st["ticks"] == 4
+    assert st["deadline_ms"] == pytest.approx(
+        cfg.block_size / cfg.sample_rate * 1e3
+    )
+    assert 0 <= st["deadline_misses"] <= 4
+    assert st["tick_ms"]["window"] == 4
+    assert st["tick_ms"]["max"] >= st["tick_ms"]["min"] > 0
+    # an impossible deadline must register as a miss (counter wiring)
+    srv.deadline_s = 0.0
+    srv.process({sid: blocks[0]})
+    assert srv.deadline_misses >= 1 and srv.ticks == 5
+
+
+def test_soak_open_close_churn_under_pipelining(w, cfg):
+    """Sustained serving soak: open/close tenant churn under pipelined
+    dispatch, finite outputs throughout, bounded in-flight queue, and host
+    memory stability (ru_maxrss must not keep growing after warmup —
+    the telemetry/params caches and tick counters are all bounded).
+
+    Default length is ~1200 ticks (≈38 s of served audio per tenant);
+    set GCCNMF_TPU_SOAK_SECONDS=180 for a true multi-minute soak run.
+    """
+    import os
+    import resource
+    import time
+
+    srv = StreamServer(w, cfg, max_streams=4, pipeline_depth=2)
+    rng = np.random.default_rng(42)
+    sids = [srv.open_stream() for _ in range(3)]
+    target_s = float(os.environ.get("GCCNMF_TPU_SOAK_SECONDS", "0"))
+    min_ticks = 1200
+    warmup = 200
+    rss_after_warmup = None
+    t_start = time.perf_counter()
+    tick = 0
+    outputs_seen = 0
+    while tick < min_ticks or time.perf_counter() - t_start < target_s:
+        if tick % 97 == 96:  # churn: retire the oldest tenant, admit a new one
+            srv.close_stream(sids.pop(0))
+            sids.append(
+                srv.open_stream(
+                    StreamSettings(
+                        target_tdoa_index=float(rng.uniform(8.0, 56.0))
+                    )
+                )
+            )
+        blocks = {
+            sid: rng.standard_normal(
+                (cfg.num_channels, cfg.block_size)
+            ).astype(np.float32)
+            * 0.05
+            for sid in sids
+        }
+        out = srv.process(blocks)
+        for b in out.values():
+            outputs_seen += 1
+            assert np.isfinite(b).all()
+        assert len(srv._inflight) <= srv.pipeline_depth
+        if tick == warmup:
+            rss_after_warmup = resource.getrusage(
+                resource.RUSAGE_SELF
+            ).ru_maxrss
+        tick += 1
+    for tick_out in srv.flush():
+        for b in tick_out.values():
+            assert np.isfinite(np.asarray(b)).all()
+    rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux; steady-state serving must not keep
+    # allocating (64 MiB of slack covers allocator noise)
+    assert rss_end - rss_after_warmup < 64 * 1024
+    st = srv.tick_stats()
+    assert st["ticks"] >= min_ticks
+    assert outputs_seen >= (min_ticks - srv.pipeline_depth) * 3 - 40
+    assert srv.active_streams == 3
+    assert srv.deadline_misses <= st["ticks"]
