@@ -63,6 +63,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=30.0)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--chunk-frames", type=int, default=8192,
+                    help="macro-chunk width for the single-device driver")
     ap.add_argument("--num-iterations", type=int, default=100)
     ap.add_argument("--dictionary-size", type=int, default=128)
     ap.add_argument("--wav", default="/tmp/streamed_bench_mix.wav")
@@ -90,7 +92,7 @@ def main():
         num_iterations=args.num_iterations,
         dictionary_size=args.dictionary_size,
     )
-    sep = LongAudioSeparator(cfg, mesh)
+    sep = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
     t0 = time.perf_counter()
     result = sep.separate_streamed(args.wav, output_prefix=args.out_prefix)
     elapsed = time.perf_counter() - t0

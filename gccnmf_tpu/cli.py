@@ -39,9 +39,15 @@ def separate_main(argv=None):
                     help="shard the time axis over N mesh devices "
                          "(sequence-parallel long-audio pipeline)")
     ap.add_argument("--streamed", action="store_true",
-                    help="disk-streamed I/O for hour-scale files (requires "
-                         "--time-shards): mmap input chunks per shard, "
-                         "write outputs incrementally — O(chunk) host RAM")
+                    help="disk-streamed I/O for hour-scale files: mmap "
+                         "input chunks, write outputs incrementally — "
+                         "O(chunk) host RAM. Single device uses sequential "
+                         "macro-chunks; with --time-shards N the chunks "
+                         "are sharded over the mesh")
+    ap.add_argument("--chunk-frames", type=int, default=8192,
+                    help="macro-chunk width in STFT frames for "
+                         "single-device --streamed (bounds host RAM, HBM "
+                         "transients, and program size)")
     ap.add_argument("--turbo", action="store_true",
                     help="shared-Q simultaneous NMF updates (TPU): +14%% "
                          "throughput, identical localization and "
@@ -53,7 +59,7 @@ def separate_main(argv=None):
     if args.verbose:
         logging.basicConfig(level=logging.INFO)
     if args.streamed and not args.time_shards:
-        ap.error("--streamed requires --time-shards")
+        args.time_shards = 1  # single-device sequential macro-chunk driver
 
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.utils import wav
@@ -86,7 +92,7 @@ def separate_main(argv=None):
             data=args.time_shards, model=1,
             devices=jax.devices()[: args.time_shards],
         )
-        separator = LongAudioSeparator(cfg, mesh)
+        separator = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
     else:
         separator = GCCNMFSeparator(cfg)
     if args.streamed:

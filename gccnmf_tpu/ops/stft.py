@@ -69,11 +69,28 @@ def num_frames(n: int, frame_length: int, hop_size: int) -> int:
 
 
 def frame_signal(y: jax.Array, frame_length: int, hop_size: int) -> jax.Array:
-    """Slice ``(..., n)`` into overlapping frames ``(..., T, frame_length)``."""
+    """Slice ``(..., n)`` into overlapping frames ``(..., T, frame_length)``.
+
+    When ``hop_size`` divides ``frame_length`` this is a static stack of
+    shifted slices (the dual of :func:`overlap_add`'s fast path) — no
+    gather, and no index matrix. The fallback gather builds its indexes
+    on device: a host-side ``np.arange`` index matrix would be embedded
+    in the program as a ``(T, frame_length)`` constant, which at
+    hour-scale T is gigabytes of HLO (it overflowed the remote-compile
+    transport on 30-minute single-shard runs).
+    """
     n = y.shape[-1]
     t = num_frames(n, frame_length, hop_size)
-    starts = np.arange(t) * hop_size
-    idx = starts[:, None] + np.arange(frame_length)[None, :]
+    if frame_length % hop_size == 0:
+        r = frame_length // hop_size
+        usable = (t + r - 1) * hop_size
+        chunks = y[..., :usable].reshape(*y.shape[:-1], t + r - 1, hop_size)
+        segs = [chunks[..., k : k + t, :] for k in range(r)]
+        return jnp.stack(segs, axis=-2).reshape(
+            *y.shape[:-1], t, frame_length
+        )
+    starts = jnp.arange(t) * hop_size
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
     return y[..., idx]
 
 
@@ -212,8 +229,10 @@ def overlap_add(frames: jax.Array, hop_size: int) -> jax.Array:
         for k in range(r):
             out = out.at[..., k : k + t, :].add(chunks[..., :, k, :])
         return out.reshape(*batch, n_out)
-    # General fallback: scatter-add each frame at its start offset.
-    idx = (np.arange(t) * hop_size)[:, None] + np.arange(length)[None, :]
+    # General fallback: scatter-add each frame at its start offset
+    # (on-device iota — a np.arange index matrix would be a (T, L)
+    # constant embedded in the program).
+    idx = (jnp.arange(t) * hop_size)[:, None] + jnp.arange(length)[None, :]
     out = jnp.zeros((*batch, n_out), frames.dtype)
     return out.at[..., idx].add(frames)
 

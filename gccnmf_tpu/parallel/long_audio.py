@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from gccnmf_tpu.models.offline import OfflineConfig, stft_gain
+from gccnmf_tpu.models.offline import OfflineConfig, plane_dtype, stft_gain
 from gccnmf_tpu.ops import gcc, localize, masks, nmf, stft as stft_ops
 from gccnmf_tpu.ops import windows as win_ops
 from gccnmf_tpu.parallel import mesh as mesh_lib
@@ -51,12 +51,20 @@ __all__ = ["LongAudioSeparator"]
 class LongAudioSeparator:
     """Time-sharded end-to-end GCC-NMF separation over a data mesh."""
 
-    def __init__(self, config: OfflineConfig = OfflineConfig(), mesh=None):
+    def __init__(
+        self,
+        config: OfflineConfig = OfflineConfig(),
+        mesh=None,
+        chunk_frames: int = 8192,
+    ):
         self.config = config
         self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()
         if self.mesh.shape.get("model", 1) != 1:
             raise ValueError("LongAudioSeparator uses a data-only mesh")
         self.num_shards = self.mesh.shape["data"]
+        #: macro-chunk width (STFT frames) for the single-device streamed
+        #: driver — bounds host RAM, HBM transients, and program size
+        self.chunk_frames = int(chunk_frames)
         self._stft_method = config.resolved_stft_method()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
@@ -115,14 +123,26 @@ class LongAudioSeparator:
                 coh0, *self._cos_sin, targets_l, w_l
             )
             coef = masks.hard_coefficient_masks(scores)  # (N, T_s, K)
-            spec_est = masks.masked_reconstruction(coef, spec0, w_l, h0)
-            # local inverse transform — istft's own spectrum→frames step
-            # (the OLA differs: seams are settled by ppermute, not locally)
-            frames = stft_ops.inverse_frames(
-                jnp.conj(spec_est), win_len,
-                "matmul" if self._stft_method == "matmul" else "fft",
-            )
-            y = stft_ops.overlap_add(frames * window, hop)  # (N, 2, L_out)
+
+            def per_target(coef_n):  # (T_s, K) → (2, L_out)
+                spec_est = masks.masked_reconstruction(
+                    coef_n[None], spec0, w_l, h0
+                )[0]  # (2, T_s, F)
+                # local inverse transform — istft's own spectrum→frames
+                # step (the OLA differs: seams are settled by ppermute,
+                # not locally)
+                frames = stft_ops.inverse_frames(
+                    jnp.conj(spec_est), win_len,
+                    "matmul" if self._stft_method == "matmul" else "fft",
+                )
+                return stft_ops.overlap_add(frames * window, hop)
+
+            # sequential over targets: the (N, 2, T_s, F) complex estimate
+            # and its same-size inverse frames would otherwise both be
+            # resident at once — at hour-scale T_s that alone is ~11 GB;
+            # per-target it is ~1/N of that, and the per-target GEMMs stay
+            # MXU-sized
+            y = jax.lax.map(per_target, coef)  # (N, 2, L_out)
             t_s = spec0.shape[-2]
             own_len = t_s * hop
             tail = y[..., own_len:]  # (N, 2, overlap)
@@ -277,6 +297,15 @@ class LongAudioSeparator:
             raise ValueError(
                 f"expected stereo input, got {reader.num_channels} channels"
             )
+        if s == 1:
+            # single-device: sequential macro-chunks against device-resident
+            # plane buffers — bounded host RAM AND bounded program size
+            # (the one-shard mesh program embeds hour-scale shapes in a
+            # single compile, which overflows remote-compile transports
+            # and HBM transient budgets)
+            return self._separate_streamed_chunked(
+                reader, mixture_path, output_prefix, num_sources
+            )
         t_s, t, chunk_len = self._frame_geometry(reader.num_samples)
 
         def load_chunks(index) -> np.ndarray:
@@ -344,6 +373,210 @@ class LongAudioSeparator:
             w=np.asarray(w),
             mean_angular_spectrum=mean_ang,
             frames_processed=t,
+            samples_written=writers[0].samples_written if writers else 0,
+        )
+
+    # ----------------------------------------- single-device chunked driver
+
+    def _h0_device_chunked(self, t2: int, atom_block: int = 8):
+        """Reference-seeded (W0, H0-on-device) with O(2T·atom_block) host RAM.
+
+        ``nmf_init_numpy`` draws H as ``(K, 2T)`` float64 before the f32
+        cast — at hour scale that single host draw is gigabytes. The
+        MT19937 stream is K-major, so drawing atom *blocks* sequentially
+        reproduces it exactly; each block is cast, offset by ε, uploaded
+        into a device ``(K, 2T)`` buffer, and transposed once on device.
+        """
+        cfg = self.config
+        k = cfg.dictionary_size
+        np.random.seed(0)
+        w0 = (
+            np.random.random((cfg.num_freq, k)).astype(np.float32)
+            + cfg.epsilon
+        )
+        buf = jnp.zeros((k, t2), jnp.float32)
+        upd = jax.jit(
+            lambda b, blk, k0: jax.lax.dynamic_update_slice(b, blk, (k0, 0)),
+            donate_argnums=(0,),
+        )
+        for k0 in range(0, k, atom_block):
+            kb = min(atom_block, k - k0)
+            blk = (
+                np.random.random((kb, t2)).astype(np.float32) + cfg.epsilon
+            )
+            buf = upd(buf, blk, k0)
+        return w0, buf.T  # (2T, K) — matches nmf_init_numpy's h0.T
+
+    def _separate_streamed_chunked(
+        self, reader, mixture_path, output_prefix, num_sources
+    ):
+        """Sequential macro-chunk streaming on one device.
+
+        Pass 1 streams bounded sample chunks through the STFT/GCC front
+        end into preallocated device-resident plane buffers (spec planes
+        in the pipeline's plane dtype, V in f32); KL-NMF then runs once
+        over the device-resident V (XLA formulation — hour-scale V cannot
+        be VMEM-resident); pass 2 reconstructs chunk by chunk with an
+        overlap-add carry and streams output straight into incremental
+        writers. Host RAM, HBM transients, and compiled-program size are
+        all O(chunk); results match :meth:`separate` (identical math,
+        identical seeded init, plane storage at the pipeline's dtype).
+        """
+        cfg = self.config
+        window_np = self._window
+        window = jnp.asarray(window_np, jnp.float32)
+        win_len, hop = cfg.window_size, cfg.hop_size
+        overlap = win_len - hop
+        f, k = cfg.num_freq, cfg.dictionary_size
+        cos_m, sin_m = (jnp.asarray(m) for m in self._cos_sin)
+        plane = (
+            jnp.float32 if plane_dtype(cfg) == "float32" else jnp.bfloat16
+        )
+        inv_method = "matmul" if self._stft_method == "matmul" else "fft"
+
+        t_total = stft_ops.num_frames(reader.num_samples, win_len, hop)
+        if t_total < 1:
+            raise ValueError("audio shorter than one analysis window")
+        tc_main = min(self.chunk_frames, t_total)
+        chunk_grid = [
+            (t0, min(tc_main, t_total - t0))
+            for t0 in range(0, t_total, tc_main)
+        ]
+
+        # ---- pass 1: chunked analysis into device-resident planes
+        def analyze_store(spec_re, spec_im, v_buf, samples, t0):
+            spec = stft_ops.stft(
+                samples, window, hop, conjugate=True,
+                method=self._stft_method,
+            )  # (2, tc, F)
+            coh = gcc.coherence(spec)
+            ang = gcc.angular_spectrogram(coh, cos_m, sin_m)
+            spec_re = jax.lax.dynamic_update_slice(
+                spec_re, jnp.real(spec).astype(plane), (0, t0, 0)
+            )
+            spec_im = jax.lax.dynamic_update_slice(
+                spec_im, jnp.imag(spec).astype(plane), (0, t0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, jnp.abs(spec).astype(jnp.float32), (0, t0, 0)
+            )
+            return spec_re, spec_im, v_buf, jnp.sum(ang, axis=0)
+
+        analyze = jax.jit(analyze_store, donate_argnums=(0, 1, 2))
+
+        spec_re = jnp.zeros((2, t_total, f), plane)
+        spec_im = jnp.zeros((2, t_total, f), plane)
+        v_buf = jnp.zeros((2, t_total, f), jnp.float32)
+        ang_acc = np.zeros(cfg.num_tdoas, np.float64)
+        for t0, tc in chunk_grid:
+            samples = reader.read(t0 * hop, (tc - 1) * hop + win_len)
+            spec_re, spec_im, v_buf, ang = analyze(
+                spec_re, spec_im, v_buf, samples, t0
+            )
+            ang_acc += np.asarray(ang, np.float64)
+
+        # ---- NMF over the device-resident V (reference row order
+        # left‖right — the (2, T, F) → (2T, F) reshape is exactly that)
+        v2 = v_buf.reshape(2 * t_total, f)
+        w0, h0_dev = self._h0_device_chunked(2 * t_total)
+        if cfg.nmf_matmul_dtype == "bfloat16_q_simul":
+            w, h = nmf.kl_nmf_simul(
+                v2, w0, h0_dev, cfg.num_iterations,
+                cfg.sparsity_alpha, cfg.epsilon,
+            )
+        else:
+            w, h = nmf.kl_nmf(
+                v2, w0, h0_dev, cfg.num_iterations,
+                cfg.sparsity_alpha, cfg.epsilon,
+            )
+
+        mean_ang = ang_acc / t_total
+        targets = localize.estimate_target_tdoa_indexes(
+            mean_ang, num_sources
+        )
+        targets_dev = jnp.asarray(np.asarray(targets, np.int32))
+        n_targets = len(targets)
+
+        # ---- pass 2: chunked reconstruction with an OLA seam carry
+        recon_cache: dict[int, object] = {}
+
+        def make_reconstruct(tc: int):
+            def fn(spec_re, spec_im, h, w, targets_ix, t0, carry):
+                sre = jax.lax.dynamic_slice(
+                    spec_re, (0, t0, 0), (2, tc, f)
+                ).astype(jnp.float32)
+                sim = jax.lax.dynamic_slice(
+                    spec_im, (0, t0, 0), (2, tc, f)
+                ).astype(jnp.float32)
+                spec = sre + 1j * sim  # (2, tc, F) complex64
+                coh = gcc.coherence(spec)
+                h_l = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice(h, (t0, 0), (tc, k)),
+                        jax.lax.dynamic_slice(
+                            h, (t_total + t0, 0), (tc, k)
+                        ),
+                    ]
+                )  # (2, tc, K)
+                scores = masks.target_attribution(
+                    coh, cos_m, sin_m, targets_ix, w
+                )
+                coef = masks.hard_coefficient_masks(scores)  # (N, tc, K)
+
+                def per_target(coef_n):
+                    spec_est = masks.masked_reconstruction(
+                        coef_n[None], spec, w, h_l
+                    )[0]
+                    frames = stft_ops.inverse_frames(
+                        jnp.conj(spec_est), win_len, inv_method
+                    )
+                    return stft_ops.overlap_add(frames * window, hop)
+
+                y = jax.lax.map(per_target, coef)  # (N, 2, tc·hop+overlap)
+                y = y.at[..., :overlap].add(carry)
+                return y[..., : tc * hop], y[..., tc * hop :]
+
+            return jax.jit(fn)
+
+        prefix = output_prefix or wav.default_output_prefix(mixture_path)
+        gain = stft_gain(cfg)
+        half = win_len // 2
+        writers = [
+            wav.StreamingWavWriter(
+                f"{prefix}_sim_{i + 1}.wav", reader.sample_rate
+            )
+            for i in range(n_targets)
+        ]
+        # held-back FIFO per target: the final `half` samples are trimmed,
+        # but which samples those are is only known at the end
+        pending = [np.zeros((2, 0), np.float32) for _ in range(n_targets)]
+
+        def emit(block: np.ndarray) -> None:  # block: (N, 2, L)
+            for n in range(n_targets):
+                buf = np.concatenate(
+                    [pending[n], block[n] * gain], axis=-1
+                )
+                if buf.shape[-1] > half:
+                    writers[n].write(buf[:, : buf.shape[-1] - half])
+                    buf = buf[:, buf.shape[-1] - half :]
+                pending[n] = buf
+
+        carry = jnp.zeros((n_targets, 2, overlap), jnp.float32)
+        for i, (t0, tc) in enumerate(chunk_grid):
+            recon = recon_cache.setdefault(tc, make_reconstruct(tc))
+            out, carry = recon(
+                spec_re, spec_im, h, w, targets_dev, t0, carry
+            )
+            block = np.asarray(out)
+            emit(block[..., half:] if i == 0 else block)  # leading trim
+        emit(np.asarray(carry))
+        paths = [w_.close() for w_ in writers]
+        return dict(
+            paths=paths,
+            target_tdoa_indexes=targets,
+            w=np.asarray(w),
+            mean_angular_spectrum=mean_ang,
+            frames_processed=t_total,
             samples_written=writers[0].samples_written if writers else 0,
         )
 

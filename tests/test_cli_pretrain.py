@@ -132,12 +132,31 @@ class TestCLI:
             x, _ = wavio.read_wav(p)
             assert np.isfinite(x).all()
 
-    def test_separate_cli_streamed_requires_time_shards(self, wav_file):
+    def test_separate_cli_streamed_single_device(
+        self, wav_file, tmp_path, capsys
+    ):
+        """--streamed without --time-shards takes the single-device
+        sequential macro-chunk driver."""
         from gccnmf_tpu import cli
 
         path, _ = wav_file
-        with pytest.raises(SystemExit):
-            cli.separate_main([path, "--streamed"])
+        rc = cli.separate_main(
+            [
+                path,
+                "--streamed",
+                "--chunk-frames", "64",
+                "--num-iterations", "5",
+                "--dictionary-size", "16",
+                "--num-sources", "2",
+                "--output-prefix", str(tmp_path / "chunked_cli"),
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["outputs"]) == 2
+        for p in info["outputs"]:
+            x, _ = wavio.read_wav(p)
+            assert np.isfinite(x).all()
 
     def test_stream_cli(self, wav_file, tmp_path, capsys, monkeypatch):
         from gccnmf_tpu import cli

@@ -178,3 +178,83 @@ class TestLongAudioSeparator:
         wavio.write_wav(mono, path, 16000)
         with pytest.raises(ValueError, match="stereo"):
             LongAudioSeparator(cfg).separate_streamed(path)
+
+
+@pytest.fixture
+def mesh1():
+    """A 1-device mesh: routes separate_streamed to the chunked driver."""
+    return mesh_lib.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+
+class TestChunkedStreamed:
+    """Single-device sequential macro-chunk streaming (the path the real
+    chip takes — on one device the sharded program would embed hour-scale
+    shapes in a single compile)."""
+
+    @pytest.mark.parametrize("chunk_frames", [64, 512])
+    def test_matches_single_device_parity(
+        self, cfg, mesh1, tmp_path, chunk_frames
+    ):
+        """f32-parity chunked streaming reproduces GCCNMFSeparator up to
+        int16 output quantization — including the ragged final chunk
+        (200 % 64 != 0) and the single-chunk case (512 > 200)."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        cfg32 = replace(cfg, nmf_matmul_dtype="float32")
+        stereo = _two_source_mix(200)
+        path = str(tmp_path / f"chunked_{chunk_frames}.wav")
+        wavio.write_wav(stereo, path, 16000)
+        stereo_q, _ = wavio.read_wav(path)
+
+        ref = GCCNMFSeparator(cfg32).separate(stereo_q, num_sources=2)
+        sep = LongAudioSeparator(cfg32, mesh1, chunk_frames=chunk_frames)
+        out = sep.separate_streamed(
+            path,
+            output_prefix=str(tmp_path / f"chk{chunk_frames}"),
+            num_sources=2,
+        )
+        assert list(out["target_tdoa_indexes"]) == list(
+            ref["target_tdoa_indexes"]
+        )
+        assert out["frames_processed"] == 200
+        for i, p in enumerate(out["paths"]):
+            got, sr = wavio.read_wav(p)
+            want = ref["estimates"][i]
+            assert sr == 16000 and got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=3.0 / 32768.0)
+
+    def test_default_mode_quality(self, cfg, mesh1, tmp_path):
+        """Throughput mode (bf16 plane storage): same localization, high
+        waveform agreement with the f32 single-device pipeline."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(192)
+        path = str(tmp_path / "chunked_bf16.wav")
+        wavio.write_wav(stereo, path, 16000)
+        stereo_q, _ = wavio.read_wav(path)
+
+        ref = GCCNMFSeparator(cfg).separate(stereo_q, num_sources=2)
+        out = LongAudioSeparator(cfg, mesh1, chunk_frames=64).separate_streamed(
+            path, output_prefix=str(tmp_path / "bf16"), num_sources=2
+        )
+        assert list(out["target_tdoa_indexes"]) == list(
+            ref["target_tdoa_indexes"]
+        )
+        for i, p in enumerate(out["paths"]):
+            got, _ = wavio.read_wav(p)
+            s = snr(ref["estimates"][i], got)
+            assert s > 20.0, f"target {i}: SNR {s:.1f} dB vs f32 pipeline"
+
+    def test_seeded_init_chunked_draw_is_exact(self, cfg, mesh1):
+        """The atom-block H0 draw reproduces nmf_init_numpy's MT19937
+        stream bit-for-bit."""
+        from gccnmf_tpu.ops import nmf as nmf_ops
+
+        sep = LongAudioSeparator(cfg, mesh1)
+        t2 = 2 * 100
+        w_ref, h_ref = nmf_ops.nmf_init_numpy(
+            cfg.num_freq, cfg.dictionary_size, t2, cfg.epsilon
+        )
+        w_got, h_got = sep._h0_device_chunked(t2, atom_block=8)
+        np.testing.assert_array_equal(w_got, w_ref)
+        np.testing.assert_array_equal(np.asarray(h_got), h_ref)
