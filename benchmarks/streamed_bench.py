@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--chunk-frames", type=int, default=8192,
                     help="macro-chunk width for the single-device driver")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="raw repeats recorded; best-of used for the "
+                         "headline (tunnel variance)")
     ap.add_argument("--num-iterations", type=int, default=100)
     ap.add_argument("--dictionary-size", type=int, default=128)
     ap.add_argument("--wav", default="/tmp/streamed_bench_mix.wav")
@@ -93,9 +96,15 @@ def main():
         dictionary_size=args.dictionary_size,
     )
     sep = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
-    t0 = time.perf_counter()
-    result = sep.separate_streamed(args.wav, output_prefix=args.out_prefix)
-    elapsed = time.perf_counter() - t0
+    # raw repeats recorded, best used for the headline: the axon tunnel's
+    # bulk throughput swings by integer factors between identical runs
+    # (docs/DESIGN.md "Harness caveats") and this path is transfer-bound
+    repeats = []
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        result = sep.separate_streamed(args.wav, output_prefix=args.out_prefix)
+        repeats.append(round(time.perf_counter() - t0, 1))
+    elapsed = min(repeats)
     rss_after_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
     audio_s = args.minutes * 60
@@ -103,7 +112,9 @@ def main():
         minutes=args.minutes,
         input_mb=round(file_mb, 1),
         shards=mesh.shape["data"],
-        elapsed_s=round(elapsed, 1),
+        chunk_frames=args.chunk_frames,
+        elapsed_s=elapsed,
+        elapsed_repeats_s=repeats,
         audio_s_per_s=round(audio_s / elapsed, 1),
         peak_rss_mib=round(rss_after_kib / 1024, 1),
         rss_growth_mib=round((rss_after_kib - rss_before_kib) / 1024, 1),

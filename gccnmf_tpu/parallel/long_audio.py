@@ -443,8 +443,17 @@ class LongAudioSeparator:
             for t0 in range(0, t_total, tc_main)
         ]
 
-        # ---- pass 1: chunked analysis into device-resident planes
-        def analyze_store(spec_re, spec_im, v_buf, samples, t0):
+        # ---- pass 1: chunked analysis into device-resident planes.
+        # int16 files ship raw PCM (half the tunnel bytes; the /32768
+        # conversion — pcm_to_float's int16 case exactly — runs on
+        # device); the angular-spectrum sum accumulates in a donated
+        # device buffer so the loop never syncs — the host streams
+        # uploads while the device chews the dispatch backlog.
+        use_pcm_in = reader.raw_dtype == np.int16
+
+        def analyze_store(spec_re, spec_im, v_buf, ang_acc, samples, t0):
+            if use_pcm_in:
+                samples = samples.astype(jnp.float32) / 32768.0
             spec = stft_ops.stft(
                 samples, window, hop, conjugate=True,
                 method=self._stft_method,
@@ -460,20 +469,25 @@ class LongAudioSeparator:
             v_buf = jax.lax.dynamic_update_slice(
                 v_buf, jnp.abs(spec).astype(jnp.float32), (0, t0, 0)
             )
-            return spec_re, spec_im, v_buf, jnp.sum(ang, axis=0)
+            return spec_re, spec_im, v_buf, ang_acc + jnp.sum(ang, axis=0)
 
-        analyze = jax.jit(analyze_store, donate_argnums=(0, 1, 2))
+        analyze = jax.jit(analyze_store, donate_argnums=(0, 1, 2, 3))
 
         spec_re = jnp.zeros((2, t_total, f), plane)
         spec_im = jnp.zeros((2, t_total, f), plane)
         v_buf = jnp.zeros((2, t_total, f), jnp.float32)
-        ang_acc = np.zeros(cfg.num_tdoas, np.float64)
+        ang_dev = jnp.zeros(cfg.num_tdoas, jnp.float32)
         for t0, tc in chunk_grid:
-            samples = reader.read(t0 * hop, (tc - 1) * hop + win_len)
-            spec_re, spec_im, v_buf, ang = analyze(
-                spec_re, spec_im, v_buf, samples, t0
+            n_chunk = (tc - 1) * hop + win_len
+            samples = (
+                reader.read_raw(t0 * hop, n_chunk)
+                if use_pcm_in
+                else reader.read(t0 * hop, n_chunk)
             )
-            ang_acc += np.asarray(ang, np.float64)
+            spec_re, spec_im, v_buf, ang_dev = analyze(
+                spec_re, spec_im, v_buf, ang_dev, samples, t0
+            )
+        ang_acc = np.asarray(ang_dev, np.float64)
 
         # ---- NMF over the device-resident V (reference row order
         # left‖right — the (2, T, F) → (2T, F) reshape is exactly that)
@@ -534,7 +548,16 @@ class LongAudioSeparator:
 
                 y = jax.lax.map(per_target, coef)  # (N, 2, tc·hop+overlap)
                 y = y.at[..., :overlap].add(carry)
-                return y[..., : tc * hop], y[..., tc * hop :]
+                # gain + int16 conversion on device (StreamingWavWriter's
+                # exact clip→scale→truncate sequence — half the download
+                # bytes, the output is int16 PCM regardless); the seam
+                # carry stays pre-gain float
+                scaled = y[..., : tc * hop] * gain
+                clipped = jnp.sum(jnp.abs(scaled) >= 1.0, axis=(1, 2))
+                pcm = (
+                    jnp.clip(scaled, -1.0, 1.0 - 2.0**-15) * 32768.0
+                ).astype(jnp.int16)
+                return pcm, clipped, y[..., tc * hop :]
 
             return jax.jit(fn)
 
@@ -549,27 +572,45 @@ class LongAudioSeparator:
         ]
         # held-back FIFO per target: the final `half` samples are trimmed,
         # but which samples those are is only known at the end
-        pending = [np.zeros((2, 0), np.float32) for _ in range(n_targets)]
+        pending = [np.zeros((2, 0), np.int16) for _ in range(n_targets)]
 
-        def emit(block: np.ndarray) -> None:  # block: (N, 2, L)
-            for n in range(n_targets):
-                buf = np.concatenate(
-                    [pending[n], block[n] * gain], axis=-1
-                )
+        def emit(block: np.ndarray, clipped: np.ndarray) -> None:
+            for n in range(n_targets):  # block: (N, 2, L) int16 PCM
+                buf = np.concatenate([pending[n], block[n]], axis=-1)
                 if buf.shape[-1] > half:
-                    writers[n].write(buf[:, : buf.shape[-1] - half])
+                    writers[n].write_pcm(
+                        buf[:, : buf.shape[-1] - half], int(clipped[n])
+                    )
                     buf = buf[:, buf.shape[-1] - half :]
                 pending[n] = buf
 
+        # dispatch every chunk before fetching any: the carry chains the
+        # chunks on-device, and the serial tunnel fetches then overlap
+        # the (fast) device compute instead of gating each dispatch
         carry = jnp.zeros((n_targets, 2, overlap), jnp.float32)
-        for i, (t0, tc) in enumerate(chunk_grid):
+        outs = []
+        for t0, tc in chunk_grid:
             recon = recon_cache.setdefault(tc, make_reconstruct(tc))
-            out, carry = recon(
+            pcm, clipped, carry = recon(
                 spec_re, spec_im, h, w, targets_dev, t0, carry
             )
-            block = np.asarray(out)
-            emit(block[..., half:] if i == 0 else block)  # leading trim
-        emit(np.asarray(carry))
+            outs.append((pcm, clipped))
+        for i, (pcm, clipped) in enumerate(outs):
+            block = np.asarray(pcm)
+            emit(
+                block[..., half:] if i == 0 else block,  # leading trim
+                np.asarray(clipped),
+            )
+        # the trailing seam (pre-gain float) goes through the writer's
+        # own host-side conversion — identical formula
+        tail = np.asarray(carry, np.float32) * gain
+        for n in range(n_targets):
+            buf = np.concatenate(
+                [wav.pcm_to_float(pending[n]).astype(np.float32), tail[n]],
+                axis=-1,
+            )
+            if buf.shape[-1] > half:
+                writers[n].write(buf[:, : buf.shape[-1] - half])
         paths = [w_.close() for w_ in writers]
         return dict(
             paths=paths,

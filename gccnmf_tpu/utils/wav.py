@@ -122,6 +122,27 @@ class WavReader:
             samples = np.concatenate([samples, pad], axis=-1)
         return samples
 
+    @property
+    def raw_dtype(self) -> np.dtype:
+        """Native dtype of the PCM payload (int16 for standard WAVs)."""
+        return self._pcm.dtype
+
+    def read_raw(self, start: int, count: int) -> np.ndarray:
+        """``(channels, count)`` in the file's native PCM dtype,
+        zero-padded past EOF — half the transfer bytes of :meth:`read`
+        for int16 files when the float conversion runs on the device."""
+        start = max(int(start), 0)
+        end = min(start + int(count), self.num_samples)
+        samples = np.asarray(self._pcm[start:end])
+        samples = samples.T if samples.ndim == 2 else samples[None]
+        samples = np.ascontiguousarray(samples)
+        if samples.shape[-1] < count:
+            pad = np.zeros(
+                (samples.shape[0], count - samples.shape[-1]), samples.dtype
+            )
+            samples = np.concatenate([samples, pad], axis=-1)
+        return samples
+
 
 class StreamingWavWriter:
     """Incremental 16-bit PCM WAV writer (stdlib ``wave``).
@@ -160,6 +181,24 @@ class StreamingWavWriter:
         pcm = float_to_pcm(samples).T  # (n, C) interleaved frame order
         self._wf.writeframes(np.ascontiguousarray(pcm).tobytes())
         self.samples_written += samples.shape[-1]
+
+    def write_pcm(self, pcm: np.ndarray, clipped: int = 0) -> None:
+        """Append already-converted ``(channels, n)`` int16 PCM (the
+        device-side conversion path — half the transfer bytes).
+        ``clipped`` folds a device-counted clip tally into the close()
+        warning."""
+        pcm = np.asarray(pcm)
+        if pcm.dtype != np.int16:
+            raise TypeError("write_pcm expects int16 PCM")
+        if pcm.ndim == 1:
+            pcm = pcm[None]
+        if pcm.shape[0] != self.num_channels:
+            raise ValueError(
+                f"expected {self.num_channels} channels, got {pcm.shape[0]}"
+            )
+        self._wf.writeframes(np.ascontiguousarray(pcm.T).tobytes())
+        self.clipped_samples += int(clipped)
+        self.samples_written += pcm.shape[-1]
 
     def close(self) -> str:
         self._wf.close()

@@ -245,6 +245,29 @@ class TestChunkedStreamed:
             s = snr(ref["estimates"][i], got)
             assert s > 20.0, f"target {i}: SNR {s:.1f} dB vs f32 pipeline"
 
+    def test_float_wav_input_falls_back_to_float_upload(
+        self, cfg, mesh1, tmp_path
+    ):
+        """Non-int16 inputs (float WAVs) can't ship raw PCM; the driver
+        must fall back to float32 uploads and still produce the same
+        separation."""
+        from scipy.io import wavfile as sp_wavfile
+
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(150)
+        path = str(tmp_path / "float_mix.wav")
+        sp_wavfile.write(path, 16000, stereo.T)  # float32 payload
+        assert wavio.WavReader(path).raw_dtype.kind == "f"
+
+        out = LongAudioSeparator(cfg, mesh1, chunk_frames=64).separate_streamed(
+            path, output_prefix=str(tmp_path / "fwav"), num_sources=2
+        )
+        assert len(out["paths"]) == 2
+        for p in out["paths"]:
+            x, _ = wavio.read_wav(p)
+            assert np.isfinite(x).all() and np.abs(x).max() > 0
+
     def test_seeded_init_chunked_draw_is_exact(self, cfg, mesh1):
         """The atom-block H0 draw reproduces nmf_init_numpy's MT19937
         stream bit-for-bit."""

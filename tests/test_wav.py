@@ -1,6 +1,7 @@
 """WAV I/O and PCM conversion tests."""
 
 import numpy as np
+import pytest
 
 from gccnmf_tpu.utils import wav
 
@@ -156,3 +157,38 @@ def test_wav_reader_24bit_fallback(tmp_path):
     full, _ = wav.read_wav(str(path))
     np.testing.assert_array_equal(r.read(0, n), full)
     np.testing.assert_array_equal(r.read(10, 20), full[:, 10:30])
+
+
+def test_wav_reader_read_raw_matches_float_read(tmp_path, stereo_signal):
+    """read_raw returns the native int16 payload; /32768 reproduces
+    read() exactly (pcm_to_float's int16 case has zero offset)."""
+    mix, sr = stereo_signal
+    path = str(tmp_path / "raw.wav")
+    wav.write_wav(mix, path, sr)
+    r = wav.WavReader(path)
+    assert r.raw_dtype == np.int16
+    raw = r.read_raw(100, 400)
+    assert raw.dtype == np.int16 and raw.shape == (2, 400)
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) / 32768.0, r.read(100, 400)
+    )
+    # zero-padded past EOF like read()
+    over = r.read_raw(r.num_samples - 10, 50)
+    assert over.shape == (2, 50) and not over[:, 10:].any()
+
+
+def test_streaming_wav_writer_write_pcm(tmp_path, rng):
+    """write_pcm appends raw int16 (the device-converted path) and folds
+    a device-counted clip tally into the close() accounting."""
+    x = (rng.standard_normal((2, 500)) * 0.1).astype(np.float32)
+    pcm = wav.float_to_pcm(x)
+    p = str(tmp_path / "pcm.wav")
+    w = wav.StreamingWavWriter(p, 16000)
+    w.write_pcm(pcm[:, :300], clipped=2)
+    w.write_pcm(pcm[:, 300:])
+    assert w.clipped_samples == 2 and w.samples_written == 500
+    with pytest.raises(TypeError):
+        w.write_pcm(x)  # float input must be rejected
+    w.close()
+    got, sr = wav.read_wav(p)
+    np.testing.assert_array_equal(wav.float_to_pcm(got), pcm)
