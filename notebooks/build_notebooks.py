@@ -228,9 +228,15 @@ def offline_separation():
             "batches — the benchmark configuration (`bench.py`) separates "
             "128 utterances per program dispatch at thousands of "
             "audio-seconds per second per chip.\n"
-            "- Hour-long recordings: `gccnmf-separate --time-shards N` "
-            "shards the STFT time axis across devices "
+            "- Hour-long recordings: `gccnmf-separate --streamed` "
+            "processes a file in sequential macro-chunks with O(chunk) "
+            "host RAM (mmap input, int16 transport, incremental "
+            "writers); `--time-shards N` additionally shards the STFT "
+            "time axis across devices "
             "(`gccnmf_tpu.parallel.long_audio`).\n"
+            "- `--turbo` enables shared-Q simultaneous NMF updates "
+            "(+14% throughput; identical localization on all six "
+            "bundled mixtures — see `docs/turbo_equivalence.json`).\n"
             "- `examples/offline_separation.py` is this notebook as a "
             "script."
         ),
