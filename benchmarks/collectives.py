@@ -54,9 +54,12 @@ def nmf_sharded_per_iteration(
     w_den_psum = _allreduce_bytes(k_local * F32, dp)
     per_iter = {
         # one reconstruction psum feeds the H update; the second (W-update)
-        # reconstruction and its regathered H are what turbo removes
+        # reconstruction and its mid-body H regather are what turbo removes
         "recon_psum_model": recon_psum * (1 if simultaneous else 2),
-        "h_allgather_model": h_gather,  # one per iteration either way
+        # nmf_sharded body(): the reference path all_gathers the updated H
+        # block BEFORE the second reconstruction AND again at iteration
+        # end; the simultaneous path only gathers once at the end
+        "h_allgather_model": h_gather * (1 if simultaneous else 2),
         "w_stats_psum_data": w_num_psum + w_den_psum,
     }
     if simultaneous:

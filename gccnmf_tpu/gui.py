@@ -199,25 +199,28 @@ class GCCNMFFigureView:
             return
         if zone is not None:
             lo, hi = self.model.region
-            # capture the true width at press time: the visible region may
-            # be clipped at a grid edge, and deriving width from (lo, hi)
-            # during a body drag would permanently narrow epsilon
+            # capture the true width AND center at press time: the visible
+            # region may be clipped at a grid edge, and deriving either
+            # from (lo, hi) during a body drag would permanently narrow
+            # epsilon / teleport the center to the clipped span's middle
             self._drag = (zone, float(event.xdata), lo, hi,
-                          float(self.model.window_width))
+                          float(self.model.window_width),
+                          float(self.model.tdoa))
 
     def _on_motion(self, event) -> None:
         if self._drag is None or event.xdata is None:
             return
         if event.inaxes is not self.ax_curve:
             return
-        zone, x0, lo0, hi0, width0 = self._drag
+        zone, x0, lo0, hi0, width0, tdoa0 = self._drag
         x = float(event.xdata)
         if zone == "move":
             # width-preserving translation (pyqtgraph LinearRegionItem
             # semantics): set_region against a grid edge would clip one
             # bound and permanently narrow epsilon — restore the width
-            # captured at press time, not the clipped span
-            self.model.set_tdoa((lo0 + hi0) / 2.0 + (x - x0))
+            # and translate the TRUE center captured at press time, not
+            # the clipped span's middle
+            self.model.set_tdoa(tdoa0 + (x - x0))
             self.model.set_window_width(width0)
         elif zone == "lo":
             self.model.set_region(x, hi0)

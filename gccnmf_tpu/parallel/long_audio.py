@@ -288,7 +288,9 @@ class LongAudioSeparator:
         reader = wav.WavReader(mixture_path)
         if reader.sample_rate != cfg.sample_rate:
             sep = LongAudioSeparator(
-                replace(cfg, sample_rate=reader.sample_rate), self.mesh
+                replace(cfg, sample_rate=reader.sample_rate),
+                self.mesh,
+                chunk_frames=self.chunk_frames,
             )
             return sep.separate_streamed(
                 mixture_path, output_prefix, num_sources
@@ -553,11 +555,10 @@ class LongAudioSeparator:
                 # bytes, the output is int16 PCM regardless); the seam
                 # carry stays pre-gain float
                 scaled = y[..., : tc * hop] * gain
-                clipped = jnp.sum(jnp.abs(scaled) >= 1.0, axis=(1, 2))
                 pcm = (
                     jnp.clip(scaled, -1.0, 1.0 - 2.0**-15) * 32768.0
                 ).astype(jnp.int16)
-                return pcm, clipped, y[..., tc * hop :]
+                return pcm, y[..., tc * hop :]
 
             return jax.jit(fn)
 
@@ -574,36 +575,57 @@ class LongAudioSeparator:
         # but which samples those are is only known at the end
         pending = [np.zeros((2, 0), np.int16) for _ in range(n_targets)]
 
-        def emit(block: np.ndarray, clipped: np.ndarray) -> None:
+        def emit(block: np.ndarray) -> None:
             for n in range(n_targets):  # block: (N, 2, L) int16 PCM
                 buf = np.concatenate([pending[n], block[n]], axis=-1)
-                if buf.shape[-1] > half:
-                    writers[n].write_pcm(
-                        buf[:, : buf.shape[-1] - half], int(clipped[n])
+                cut = buf.shape[-1] - half
+                if cut > 0:
+                    out = buf[:, :cut]
+                    # clip tally from the written samples themselves:
+                    # boundary codes are exactly what the writer's
+                    # |float| >= 1.0 check maps to (±1.0 lands on them;
+                    # values in [1−2⁻¹⁵, 1) also truncate to 32767 —
+                    # a warning-tally-grade approximation)
+                    clipped = int(
+                        ((out == 32767) | (out == -32768)).sum()
                     )
-                    buf = buf[:, buf.shape[-1] - half :]
+                    writers[n].write_pcm(out, clipped)
+                    buf = buf[:, cut:]
                 pending[n] = buf
 
-        # dispatch every chunk before fetching any: the carry chains the
-        # chunks on-device, and the serial tunnel fetches then overlap
-        # the (fast) device compute instead of gating each dispatch
+        # bounded dispatch lookahead: the carry chains chunks on-device,
+        # so dispatching ahead lets the serial tunnel fetches overlap
+        # device compute — but buffering EVERY chunk's output would make
+        # HBM residency O(total audio); a small window keeps it O(chunk)
         carry = jnp.zeros((n_targets, 2, overlap), jnp.float32)
-        outs = []
+        inflight: list = []
+        lead = half  # leading samples still to trim (may span chunks)
+
+        def drain_one() -> None:
+            nonlocal lead
+            block = np.asarray(inflight.pop(0))
+            drop = min(lead, block.shape[-1])
+            if drop:
+                block = block[..., drop:]
+                lead -= drop
+            if block.shape[-1]:
+                emit(block)
+
+        lookahead = 4
         for t0, tc in chunk_grid:
             recon = recon_cache.setdefault(tc, make_reconstruct(tc))
-            pcm, clipped, carry = recon(
+            pcm, carry = recon(
                 spec_re, spec_im, h, w, targets_dev, t0, carry
             )
-            outs.append((pcm, clipped))
-        for i, (pcm, clipped) in enumerate(outs):
-            block = np.asarray(pcm)
-            emit(
-                block[..., half:] if i == 0 else block,  # leading trim
-                np.asarray(clipped),
-            )
+            inflight.append(pcm)
+            if len(inflight) > lookahead:
+                drain_one()
+        while inflight:
+            drain_one()
         # the trailing seam (pre-gain float) goes through the writer's
-        # own host-side conversion — identical formula
-        tail = np.asarray(carry, np.float32) * gain
+        # own host-side conversion — identical formula; any leading trim
+        # not yet consumed (audio shorter than window/2) lands here
+        tail = np.asarray(carry, np.float32)[..., lead:] * gain
         for n in range(n_targets):
             buf = np.concatenate(
                 [wav.pcm_to_float(pending[n]).astype(np.float32), tail[n]],
@@ -631,7 +653,9 @@ class LongAudioSeparator:
         sep = self
         if sr != self.config.sample_rate:
             sep = LongAudioSeparator(
-                replace(self.config, sample_rate=sr), self.mesh
+                replace(self.config, sample_rate=sr),
+                self.mesh,
+                chunk_frames=self.chunk_frames,
             )
         result = sep.separate(stereo)
         prefix = output_prefix or wav.default_output_prefix(mixture_path)

@@ -530,6 +530,19 @@ class RealtimeGCCNMF:
             opened_stream = output_stream is not None
 
         deadline = cfg.block_size / source.sample_rate
+
+        def stream_out(out) -> None:
+            # backpressure when the stream supports it: a non-realtime
+            # source outruns the callback-clocked ring by design, and
+            # plain write() would drop everything past the first 8
+            # blocks as overruns; the timeout keeps a stalled/absent
+            # backend from hanging the loop
+            wb = getattr(output_stream, "write_blocking", None)
+            if wb is not None:
+                wb(out, timeout=max(0.5, 16 * deadline))
+            else:
+                output_stream.write(out)
+
         times: list[float] = []
         count = 0
         for block in source.blocks():
@@ -540,7 +553,7 @@ class RealtimeGCCNMF:
                 if sink is not None:
                     sink.write(out)
                 if output_stream is not None:
-                    output_stream.write(out)
+                    stream_out(out)
             count += 1
             if num_blocks is not None and count >= num_blocks:
                 break
@@ -550,7 +563,7 @@ class RealtimeGCCNMF:
             if sink is not None:
                 sink.write(out)
             if output_stream is not None:
-                output_stream.write(out)
+                stream_out(out)
 
         stats = dict(
             blocks=count,

@@ -257,6 +257,8 @@ class CallbackOutputStream:
             raise ValueError(
                 f"write expects ({self.num_channels}, n), got {block.shape}"
             )
+        if self.closed:  # close() documents "stop accepting writes"
+            return False
         flat = np.ascontiguousarray(block.T).ravel()  # interleave frames
         if self._ring.writable() < flat.size:
             self.overruns += 1
@@ -264,6 +266,24 @@ class CallbackOutputStream:
         self._ring.write(flat)
         self.frames_written += block.shape[1]
         return True
+
+    def write_blocking(self, block: np.ndarray, timeout: float | None = None) -> bool:
+        """:meth:`write` with backpressure: wait for ring space instead of
+        dropping. A faster-than-realtime producer (file source without
+        pacing) outruns the callback clock by design — the callback IS
+        the clock (reference audioProcessor.py:106-132), so the producer
+        should block on it, not flood an 8-block ring. Counts a single
+        overrun only on timeout (stalled/absent backend)."""
+        block = np.asarray(block, np.float32)
+        need = block.size
+        step = max(self.block_size / self.sample_rate / 4.0, 1e-4)
+        t_end = None if timeout is None else time.perf_counter() + timeout
+        while not self.closed and self._ring.writable() < need:
+            if t_end is not None and time.perf_counter() >= t_end:
+                self.overruns += 1
+                return False
+            time.sleep(step)
+        return self.write(block)
 
     @property
     def pending_frames(self) -> int:

@@ -344,6 +344,26 @@ def test_body_drag_of_clipped_region_preserves_width(gui_app):
     assert m.window_width == pytest.approx(5.0, abs=0.2)
 
 
+def test_body_drag_of_clipped_region_translates_true_center(gui_app):
+    """The clipped span's middle is NOT the center: grabbing the body of a
+    region clipped at a grid edge must translate the model's true TDOA by
+    the drag delta, not teleport it to the visible span's midpoint."""
+    view, fig, _ = _make_view(gui_app)
+    m = view.model
+    m.set_tdoa(1.0)
+    m.set_window_width(5.0)  # region clips at 0: visible middle != 1.0
+    view._redraw_editor()
+    lo, hi = m.region
+    assert abs((lo + hi) / 2.0 - m.tdoa) > 0.5, "precondition: center off"
+    ax = view.ax_curve
+    grab = (lo + hi) / 2.0
+    view._on_press(_mouse(fig, ax, "button_press_event", grab))
+    assert view._drag is not None and view._drag[0] == "move"
+    view._on_motion(_mouse(fig, ax, "motion_notify_event", grab + 0.25))
+    view._on_release(None)
+    assert m.tdoa == pytest.approx(1.25, abs=1e-6)
+
+
 def test_disabling_localization_hands_center_to_engine(gui_app):
     """After online localization is switched off, the engine's manual
     target index must equal the last followed TDOA, not the stale

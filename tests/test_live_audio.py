@@ -98,6 +98,58 @@ class TestCallbackOutputStream:
         with pytest.raises(ValueError):
             s.write(np.zeros((3, 32), np.float32))
 
+    def test_write_after_close_is_rejected(self):
+        s = CallbackOutputStream(16000, num_channels=2, block_size=32)
+        s.close()
+        assert not s.write(np.zeros((2, 32), np.float32))
+        assert s.frames_written == 0
+
+    def test_write_blocking_paces_on_the_callback_clock(self):
+        """A producer faster than realtime must not flood the ring: with a
+        draining 'device', write_blocking delivers every block with zero
+        overruns; the write order survives."""
+        import threading
+
+        s = CallbackOutputStream(16000, num_channels=2, block_size=32,
+                                 capacity_blocks=2)
+        n = 12
+        done = threading.Event()
+
+        def device():  # drains one block's worth at a time
+            pulled = 0
+            while pulled < n * 32:
+                if s.pending_frames >= 32:
+                    s.callback(32)
+                    pulled += 32
+                else:
+                    time.sleep(1e-4)
+            done.set()
+
+        t = threading.Thread(target=device)
+        t.start()
+        for i in range(n):
+            assert s.write_blocking(
+                np.full((2, 32), float(i), np.float32), timeout=5.0
+            )
+        assert done.wait(5.0)
+        t.join(5.0)
+        assert s.overruns == 0 and s.frames_written == n * 32
+
+    def test_write_blocking_times_out_with_one_overrun(self):
+        """Stalled backend: write_blocking gives up after the timeout and
+        counts exactly one overrun instead of spinning forever."""
+        s = CallbackOutputStream(16000, num_channels=2, block_size=32,
+                                 capacity_blocks=1)
+        while s.write(np.zeros((2, 32), np.float32)):
+            pass  # fill the ring (counts one overrun)
+        before = s.overruns
+        t0 = time.time()
+        assert not s.write_blocking(
+            np.zeros((2, 32), np.float32), timeout=0.05
+        )
+        assert time.time() - t0 < 2.0
+        assert s.overruns == before + 1
+
 
 # --------------------------------------------------------- open_*_stream
 

@@ -191,13 +191,15 @@ class TestChunkedStreamed:
     chip takes — on one device the sharded program would embed hour-scale
     shapes in a single compile)."""
 
-    @pytest.mark.parametrize("chunk_frames", [64, 512])
+    @pytest.mark.parametrize("chunk_frames", [2, 64, 512])
     def test_matches_single_device_parity(
         self, cfg, mesh1, tmp_path, chunk_frames
     ):
         """f32-parity chunked streaming reproduces GCCNMFSeparator up to
         int16 output quantization — including the ragged final chunk
-        (200 % 64 != 0) and the single-chunk case (512 > 200)."""
+        (200 % 64 != 0), the single-chunk case (512 > 200), and chunks
+        smaller than the half-window leading trim (2·hop < window/2, so
+        the trim spans multiple chunks)."""
         from gccnmf_tpu.utils import wav as wavio
 
         cfg32 = replace(cfg, nmf_matmul_dtype="float32")
