@@ -23,8 +23,12 @@ import numpy as np
 
 def separate_main(argv=None):
     ap = argparse.ArgumentParser(description="Offline GCC-NMF source separation")
-    ap.add_argument("input", help="stereo mixture WAV (<prefix>_mix.wav)")
-    ap.add_argument("-o", "--output-prefix", default=None)
+    ap.add_argument("input", nargs="+",
+                    help="stereo mixture WAV(s) (<prefix>_mix.wav); "
+                         "same-length files reuse one compiled program")
+    ap.add_argument("-o", "--output-prefix", default=None,
+                    help="output prefix; with multiple inputs each file's "
+                         "stem is appended")
     ap.add_argument("--num-sources", type=int, default=3)
     ap.add_argument("--auto-sources", action="store_true",
                     help="detect source count by clustering peak heights")
@@ -61,54 +65,74 @@ def separate_main(argv=None):
     if args.streamed and not args.time_shards:
         args.time_shards = 1  # single-device sequential macro-chunk driver
 
+    import os
+
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.utils import wav
 
-    if args.streamed:
-        stereo, sr = None, wav.WavReader(args.input).sample_rate
-    else:
-        stereo, sr = wav.read_wav(args.input)
-    cfg = OfflineConfig(
-        window_size=args.window_size,
-        hop_size=args.hop_size,
-        num_tdoas=args.num_tdoas,
-        mic_separation_m=args.mic_separation,
-        dictionary_size=args.dictionary_size,
-        num_iterations=args.num_iterations,
-        sparsity_alpha=args.sparsity_alpha,
-        **(
-            {"nmf_matmul_dtype": "bfloat16_q_simul"} if args.turbo else {}
-        ),
-        num_sources=None if args.auto_sources else args.num_sources,
-        sample_rate=sr,
-    )
-    if args.time_shards:
-        import jax
-
-        from gccnmf_tpu.parallel import mesh as mesh_lib
-        from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
-
-        mesh = mesh_lib.make_mesh(
-            data=args.time_shards, model=1,
-            devices=jax.devices()[: args.time_shards],
+    def make_separator(sr):
+        cfg = OfflineConfig(
+            window_size=args.window_size,
+            hop_size=args.hop_size,
+            num_tdoas=args.num_tdoas,
+            mic_separation_m=args.mic_separation,
+            dictionary_size=args.dictionary_size,
+            num_iterations=args.num_iterations,
+            sparsity_alpha=args.sparsity_alpha,
+            **(
+                {"nmf_matmul_dtype": "bfloat16_q_simul"} if args.turbo else {}
+            ),
+            num_sources=None if args.auto_sources else args.num_sources,
+            sample_rate=sr,
         )
-        separator = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
-    else:
-        separator = GCCNMFSeparator(cfg)
-    if args.streamed:
-        result = separator.separate_streamed(args.input, args.output_prefix)
-    else:
-        result = separator.separate_file(
-            args.input, args.output_prefix, audio=(stereo, sr)
-        )
-    print(
-        json.dumps(
+        if args.time_shards:
+            import jax
+
+            from gccnmf_tpu.parallel import mesh as mesh_lib
+            from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
+
+            mesh = mesh_lib.make_mesh(
+                data=args.time_shards, model=1,
+                devices=jax.devices()[: args.time_shards],
+            )
+            return LongAudioSeparator(
+                cfg, mesh, chunk_frames=args.chunk_frames
+            )
+        return GCCNMFSeparator(cfg)
+
+    multi = len(args.input) > 1
+    separator = None
+    results = []
+    for path in args.input:
+        if args.output_prefix is None:
+            prefix = None
+        elif multi:  # keep per-file outputs distinct under one prefix
+            stem = os.path.splitext(os.path.basename(path))[0]
+            prefix = f"{args.output_prefix}_{stem}"
+        else:
+            prefix = args.output_prefix
+        if args.streamed:
+            stereo, sr = None, wav.WavReader(path).sample_rate
+        else:
+            stereo, sr = wav.read_wav(path)
+        if separator is None or separator.config.sample_rate != sr:
+            separator = make_separator(sr)  # jit cache reused across files
+        if args.streamed:
+            result = separator.separate_streamed(path, prefix)
+        else:
+            result = separator.separate_file(path, prefix, audio=(stereo, sr))
+        results.append(
             dict(
+                input=path,
                 outputs=result["paths"],
                 target_tdoa_indexes=result["target_tdoa_indexes"],
             )
         )
-    )
+    if multi:
+        print(json.dumps(dict(files=results)))
+    else:  # single file: keep the original flat JSON shape
+        results[0].pop("input")
+        print(json.dumps(results[0]))
     return 0
 
 

@@ -132,6 +132,39 @@ class TestCLI:
             x, _ = wavio.read_wav(p)
             assert np.isfinite(x).all()
 
+    def test_separate_cli_multiple_inputs(self, wav_file, tmp_path, capsys):
+        """Several mixtures in one invocation: same-length files reuse one
+        compiled program; per-file outputs stay distinct under the prefix."""
+        import shutil
+
+        from gccnmf_tpu import cli
+
+        path, _ = wav_file
+        path2 = str(tmp_path / "second_mix.wav")
+        shutil.copy(path, path2)
+        rc = cli.separate_main(
+            [
+                path, path2,
+                "--num-iterations", "5",
+                "--dictionary-size", "16",
+                "--num-sources", "2",
+                "--output-prefix", str(tmp_path / "multi"),
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["files"]) == 2
+        all_outputs = [p for f in info["files"] for p in f["outputs"]]
+        assert len(all_outputs) == len(set(all_outputs)) == 4
+        for p in all_outputs:
+            x, _ = wavio.read_wav(p)
+            assert np.isfinite(x).all()
+        # identical inputs → identical localization
+        assert (
+            info["files"][0]["target_tdoa_indexes"]
+            == info["files"][1]["target_tdoa_indexes"]
+        )
+
     def test_separate_cli_streamed_single_device(
         self, wav_file, tmp_path, capsys
     ):
