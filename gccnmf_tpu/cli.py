@@ -151,8 +151,12 @@ def _resolve_dictionary(cfg, size=None):
 
 def enhance_main(argv=None):
     ap = argparse.ArgumentParser(description="GCC-NMF speech enhancement")
-    ap.add_argument("input", help="stereo WAV")
-    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("input", nargs="+",
+                    help="stereo WAV(s); same-length files at the same "
+                         "sample rate reuse one compiled program")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output path (single input only; multiple inputs "
+                         "write <input>_enhanced.wav next to each file)")
     ap.add_argument("--mode", choices=["offline", "online"], default="online")
     ap.add_argument("-c", "--config", default=None, help="INI config file")
     ap.add_argument("--dictionary-size", type=int, default=None)
@@ -169,17 +173,46 @@ def enhance_main(argv=None):
     from gccnmf_tpu.config import load_config
     from gccnmf_tpu.utils import wav
 
+    if args.output is not None and len(args.input) > 1:
+        ap.error("-o/--output only applies to a single input")
     cfg = load_config(
         args.config,
         dictionary_size=args.dictionary_size,
         dictionary_file=args.dictionary_file,
         num_h_updates=args.num_h_updates,
-        audio_path=args.input,
+        audio_path=args.input[0],
     )
-    stereo, sr = wav.read_wav(args.input)
     w = _resolve_dictionary(cfg)
 
-    if args.mode == "online":
+    enhancers = {}  # keyed by sample rate; jit cache reused across files
+
+    def enhance_one(stereo, sr):
+        enh = enhancers.get((args.mode, sr))
+        if enh is None:
+            enh = _make_enhancer(args.mode, cfg, w, sr)
+            enhancers[(args.mode, sr)] = enh
+        return enh.enhance(stereo)["enhanced"]
+
+    outputs = []
+    for path in args.input:
+        stereo, sr = wav.read_wav(path)
+        out = enhance_one(stereo, sr)
+        out_path = (
+            args.output
+            if args.output and len(args.input) == 1
+            else path.rsplit(".", 1)[0] + "_enhanced.wav"
+        )
+        wav.write_wav(np.asarray(out), out_path, sr)
+        outputs.append(out_path)
+    if len(outputs) == 1:  # original flat JSON shape
+        print(json.dumps(dict(output=outputs[0])))
+    else:
+        print(json.dumps(dict(outputs=outputs)))
+    return 0
+
+
+def _make_enhancer(mode, cfg, w, sr):
+    if mode == "online":
         from gccnmf_tpu.models.online import OnlineConfig, OnlineGCCNMFEnhancer
 
         ocfg = OnlineConfig(
@@ -194,30 +227,24 @@ def enhance_main(argv=None):
             target_beta=cfg.target_tdoa_beta,
             noise_floor=cfg.target_tdoa_noise_floor,
         )
-        out = OnlineGCCNMFEnhancer(w, ocfg).enhance(stereo)["enhanced"]
-    else:
-        from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig
+        return OnlineGCCNMFEnhancer(w, ocfg)
+    from gccnmf_tpu.models.offline import GCCNMFEnhancer, OfflineConfig
 
-        ecfg = OfflineConfig(
-            window_size=cfg.window_size,
-            hop_size=cfg.hop_size,
-            num_tdoas=cfg.num_tdoas,
-            mic_separation_m=cfg.microphone_separation_in_metres,
-            sample_rate=sr,
-        )
-        out = GCCNMFEnhancer(
-            w,
-            ecfg,
-            target_epsilon=cfg.target_tdoa_epsilon,
-            target_beta=cfg.target_tdoa_beta,
-            noise_floor=cfg.target_tdoa_noise_floor,
-            num_h_updates=cfg.num_h_updates,
-        ).enhance(stereo)["enhanced"]
-
-    out_path = args.output or args.input.rsplit(".", 1)[0] + "_enhanced.wav"
-    wav.write_wav(np.asarray(out), out_path, sr)
-    print(json.dumps(dict(output=out_path)))
-    return 0
+    ecfg = OfflineConfig(
+        window_size=cfg.window_size,
+        hop_size=cfg.hop_size,
+        num_tdoas=cfg.num_tdoas,
+        mic_separation_m=cfg.microphone_separation_in_metres,
+        sample_rate=sr,
+    )
+    return GCCNMFEnhancer(
+        w,
+        ecfg,
+        target_epsilon=cfg.target_tdoa_epsilon,
+        target_beta=cfg.target_tdoa_beta,
+        noise_floor=cfg.target_tdoa_noise_floor,
+        num_h_updates=cfg.num_h_updates,
+    )
 
 
 def stream_main(argv=None):

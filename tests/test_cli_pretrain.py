@@ -336,6 +336,33 @@ class TestCLI:
         info = json.loads(capsys.readouterr().out.strip())
         assert os.path.exists(info["output"])
 
+    def test_enhance_cli_multiple_inputs(
+        self, wav_file, tmp_path, capsys, monkeypatch
+    ):
+        """Several files in one invocation share one compiled enhancer;
+        -o is rejected (each output lands next to its input)."""
+        import shutil
+
+        from gccnmf_tpu import cli
+
+        path, _ = wav_file
+        path2 = str(tmp_path / "second.wav")
+        shutil.copy(path, path2)
+        monkeypatch.setenv("GCCNMF_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_ITERS", "3")
+        monkeypatch.setenv("GCCNMF_TPU_PRETRAIN_MAX_FRAMES", "512")
+        cfgp = tmp_path / "s.cfg"
+        cfgp.write_text("[NMF]\ndictionarySize = 16\ndictionarySizes = [16]\n")
+        rc = cli.enhance_main([path, path2, "-c", str(cfgp)])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip())
+        assert len(info["outputs"]) == 2
+        for p in info["outputs"]:
+            x, _ = wavio.read_wav(p)
+            assert np.isfinite(x).all()
+        with pytest.raises(SystemExit):
+            cli.enhance_main([path, path2, "-o", str(tmp_path / "x.wav")])
+
 
 def test_serve_cli(tmp_path, monkeypatch, capsys, wav_file):
     """gccnmf-serve: two streams from the same file, lockstep ticks,
