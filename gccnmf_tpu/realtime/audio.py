@@ -51,11 +51,16 @@ class FilePlayerSource:
         loop: bool = False,
         realtime: bool = False,
     ):
-        self.samples, self.sample_rate = wavio.read_wav(path)  # (C, n)
-        if self.samples.shape[-1] < block_size:
+        # mmap-backed range reads: an hour-long input costs O(block) host
+        # RAM on the streaming path, not O(file) (WavReader falls back to
+        # an in-memory read only for 24-bit payloads scipy cannot mmap)
+        self._reader = wavio.WavReader(path)
+        self.sample_rate = self._reader.sample_rate
+        self._num_samples = self._reader.num_samples
+        if self._num_samples < block_size:
             # looping such a file would yield undersized blocks forever
             raise ValueError(
-                f"{path}: {self.samples.shape[-1]} samples is shorter than "
+                f"{path}: {self._num_samples} samples is shorter than "
                 f"one {block_size}-sample block"
             )
         self.block_size = block_size
@@ -64,19 +69,25 @@ class FilePlayerSource:
         self.position = 0
 
     @property
+    def samples(self) -> np.ndarray:
+        """The whole file as (C, n) float32 — materializes on demand for
+        inspection; the block path never does."""
+        return self._reader.read(0, self._num_samples)
+
+    @property
     def num_blocks(self) -> int:
-        return self.samples.shape[-1] // self.block_size
+        return self._num_samples // self.block_size
 
     def blocks(self) -> Iterator[np.ndarray]:
         deadline = self.block_size / self.sample_rate
         next_t = time.perf_counter()
-        n = self.samples.shape[-1]
+        n = self._num_samples
         while True:
             if self.position + self.block_size > n:
                 if not self.loop:
                     return
                 self.position = 0
-            block = self.samples[:, self.position : self.position + self.block_size]
+            block = self._reader.read(self.position, self.block_size)
             self.position += self.block_size
             if self.realtime:
                 next_t += deadline
