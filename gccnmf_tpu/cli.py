@@ -422,6 +422,10 @@ def realtime_main(argv=None):
                          "device when a host audio stack exists (reference "
                          "audioProcessor.py:106-132); falls back to "
                          "--output/-o (or discard) otherwise")
+    ap.add_argument("--streamed-output", action="store_true",
+                    help="write -o incrementally (O(block) host RAM for "
+                         "hour-scale runs; per-sample clipping instead of "
+                         "the whole-file clip rescale)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -468,6 +472,7 @@ def realtime_main(argv=None):
             realtime=args.realtime_pace,
             source=source,
             live_output=args.live_output,
+            streamed_output=args.streamed_output,
         )
     finally:
         if source is not None:

@@ -42,7 +42,7 @@ from gccnmf_tpu.models.realtime import (
     StreamConfig,
     StreamParams,
 )
-from gccnmf_tpu.realtime.audio import FilePlayerSource, WavSink
+from gccnmf_tpu.realtime.audio import FilePlayerSource, StreamingSink, WavSink
 from gccnmf_tpu.realtime.buffers import CircularBuffer
 
 logger = logging.getLogger(__name__)
@@ -493,6 +493,7 @@ class RealtimeGCCNMF:
         source=None,
         output_stream=None,
         live_output: bool = False,
+        streamed_output: bool = False,
     ) -> dict:
         """Stream a block source through the enhancer.
 
@@ -521,7 +522,10 @@ class RealtimeGCCNMF:
         if source.sample_rate != cfg.sample_rate:
             self.config = dc_replace(self.config, sample_rate=source.sample_rate)
             self._processor = None
-        sink = WavSink(output_path, source.sample_rate) if output_path else None
+        # StreamingSink keeps host RAM at O(block) for unbounded runs
+        # (per-sample clipping instead of WavSink's whole-file rescale)
+        sink_cls = StreamingSink if streamed_output else WavSink
+        sink = sink_cls(output_path, source.sample_rate) if output_path else None
         opened_stream = False
         if output_stream is None and live_output:
             output_stream = open_output_stream(

@@ -30,6 +30,7 @@ __all__ = [
     "FilePlayerSource",
     "LiveRingSource",
     "WavSink",
+    "StreamingSink",
     "CallbackOutputStream",
     "open_output_stream",
     "open_input_stream",
@@ -191,7 +192,12 @@ class LiveRingSource:
 
 
 class WavSink:
-    """Accumulates output blocks and writes one WAV on ``close()``."""
+    """Accumulates output blocks and writes one WAV on ``close()``.
+
+    Buffers the whole signal so ``close()`` can apply the reference's
+    whole-file clip-protection rescale (wavfile.py:40-44) — O(stream)
+    host RAM. For hour-scale runs use :class:`StreamingSink` (O(block)
+    RAM, per-sample clipping instead of the rescale)."""
 
     def __init__(self, path: str, sample_rate: int):
         self.path = path
@@ -209,6 +215,29 @@ class WavSink:
         )
         wavio.write_wav(out, self.path, self.sample_rate)
         return self.path
+
+
+class StreamingSink:
+    """Incremental output sink: O(block) host RAM for unbounded streams.
+
+    Same two-method protocol as :class:`WavSink`, backed by
+    :class:`gccnmf_tpu.utils.wav.StreamingWavWriter` — samples hit disk
+    as they arrive, so clip protection is per-sample clipping (counted,
+    warned on close) instead of the whole-file rescale; the documented
+    divergence of every streamed output path."""
+
+    def __init__(self, path: str, sample_rate: int, num_channels: int = 2):
+        self.path = path
+        self.sample_rate = sample_rate
+        self._writer = wavio.StreamingWavWriter(
+            path, sample_rate, num_channels
+        )
+
+    def write(self, block: np.ndarray) -> None:
+        self._writer.write(np.asarray(block, np.float32))
+
+    def close(self) -> str:
+        return self._writer.close()
 
 
 class CallbackOutputStream:

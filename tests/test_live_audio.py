@@ -213,6 +213,31 @@ def rt_app(tmp_path, stereo_signal):
     )
 
 
+def test_run_streamed_output_matches_buffered_sink(rt_app, tmp_path):
+    """streamed_output=True writes incrementally (StreamingSink) and, on
+    non-clipping audio where WavSink's whole-file rescale is a no-op,
+    produces the identical file."""
+    from gccnmf_tpu.utils import wav as wavio
+
+    from gccnmf_tpu.realtime.app import RealtimeGCCNMF
+
+    buffered = str(tmp_path / "buf.wav")
+    streamed = str(tmp_path / "str.wav")
+    rt_app.run(output_path=buffered, num_blocks=6)
+    # fresh app: engine state (OLA, GCC history, localization) carries
+    # across run() calls on one instance by design
+    fresh = RealtimeGCCNMF(
+        rt_app.audio_path,
+        config=rt_app.config,
+        dictionaries=rt_app._dictionaries,
+    )
+    fresh.run(output_path=streamed, num_blocks=6, streamed_output=True)
+    a, sr_a = wavio.read_wav(buffered)
+    b, sr_b = wavio.read_wav(streamed)
+    assert sr_a == sr_b and a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
 def test_run_routes_enhanced_blocks_to_output_stream(rt_app, tmp_path):
     """run() plays every enhanced block through the output stream; the
     stream's content is sample-identical to the WAV sink's for the same
