@@ -180,13 +180,21 @@ def _flop_model(cfg, t: int, num_sources: int = 3) -> dict:
     )
 
 
-def bench_stage_split(stereo, sr, batch: int, quick: bool, repeats: int = 3):
-    """Per-stage device times of the flagship pipeline (the
-    benchmarks/breakdown.py split, folded into the bench JSON so a
-    regression is attributable to compute vs bandwidth without a separate
-    run): analyze = fused front-end + NMF; nmf = the Pallas loop alone;
-    reconstruct = attribution/masks/Wiener/ISTFT; end_to_end = the shipped
-    program."""
+def bench_stage_split(
+    stereo, sr, batch: int, quick: bool, repeats: int = 3,
+    end_to_end_s: float | None = None,
+):
+    """DISJOINT per-stage device times of the flagship pipeline, folded
+    into the bench JSON so a regression is attributable to compute vs
+    bandwidth without a separate run.
+
+    The measured stages are: the fused analyze program (front-end + NMF),
+    the Pallas NMF loop alone, and the reconstruction tail
+    (attribution/masks/Wiener/ISTFT). The published keys are disjoint —
+    ``front_end_ms`` is analyze minus NMF — so they sum to ≈
+    ``end_to_end_ms`` (the shipped program) and the JSON self-documents:
+    no consumer has to know that the analyze program *contains* the NMF
+    loop."""
     import jax
     import jax.numpy as jnp
 
@@ -233,11 +241,17 @@ def bench_stage_split(stereo, sr, batch: int, quick: bool, repeats: int = 3):
         ),
         repeats,
     )
-    return dict(
-        analyze_ms=round(analyze_s * 1e3, 2),
+    split = dict(
+        front_end_ms=round(max(analyze_s - nmf_s, 0.0) * 1e3, 2),
         nmf_ms=round(nmf_s * 1e3, 2),
         reconstruct_ms=round(recon_s * 1e3, 2),
-    ), t
+    )
+    if end_to_end_s is not None:
+        split["end_to_end_ms"] = round(end_to_end_s * 1e3, 2)
+        split["stages_sum_ms"] = round(
+            (max(analyze_s - nmf_s, 0.0) + nmf_s + recon_s) * 1e3, 2
+        )
+    return split, t
 
 
 def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
@@ -294,25 +308,30 @@ def bench_offline_tpu(stereo, sr, batch: int, repeats: int, quick: bool):
     chunks = 4
     for _ in sep.separate_batches([batch_in], num_sources=3, io_dtype="int16"):
         pass  # warm/compile the int16 program outside the timed region
-    # best of 2 (raw repeats also reported: best-of-N alone could hide a
-    # genuine ingest regression behind the tunnel's variance): the
+    # 4 repeats, MEDIAN headline (min/max published alongside): the
     # tunnel's throughput swings by integer factors between minutes
     # (measured 18 s vs 350 s for identical warm runs), and the I/O-bound
-    # number is the one it distorts most
+    # number is the one it distorts most. With n=2 and a best-of headline
+    # (rounds 2-3), round-over-round drift was indistinguishable from a
+    # real ingest regression; the median of 4 is robust to one outlier in
+    # either direction and is NOT a flattering statistic.
     piped_repeats = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         for _ in sep.separate_batches(
             (batch_in for _ in range(chunks)), num_sources=3, io_dtype="int16"
         ):
             pass
         piped_repeats.append(time.perf_counter() - t0)
-    piped_thr = chunks * batch * stereo.shape[-1] / sr / min(piped_repeats)
+    audio_s = chunks * batch * stereo.shape[-1] / sr
+    piped_thr = audio_s / float(np.median(piped_repeats))
     return dict(
         device_thr=device_thr,
         turbo_thr=turbo_thr,
         host_thr=host_thr,
         piped_thr=piped_thr,
+        piped_thr_min=audio_s / max(piped_repeats),
+        piped_thr_max=audio_s / min(piped_repeats),
         piped_repeats_s=[round(x, 2) for x in piped_repeats],
         device_s_per_call=per_run,
         turbo_s_per_call=per_turbo,
@@ -462,41 +481,159 @@ def bench_streaming(sr, host_steps: int = 30, multi_streams: int = 64):
     mnb = mblocks.shape[0]
     multi_rt = multi_streams * mnb * cfg.block_size / sr / m_s
 
-    # --- host-loop p50, unpipelined (tunnel round trip on every block) ----
+    # --- host-loop p50s: 4 repeats of each loop, median-of-p50s headline
+    # with min/max alongside — the per-dispatch numbers ride the axon
+    # tunnel, whose jitter made round-over-round p50 drift (0.84 → 1.18
+    # ms across rounds 2-3) indistinguishable from a code regression
+    # when only one loop was recorded -----------------------------------
+    from collections import deque
+
+    p50_repeats = 4
+
+    # unpipelined: tunnel round trip on every block
     state = proc.init_state(1)
     block = blocks[0]
     st, out, _ = proc.step(state, block, params)
     _fence(out)
-    times = []
-    for _ in range(host_steps):
-        t0 = time.perf_counter()
-        st, out, _ = proc.step(st, block, params)
-        _fence(out)
-        times.append(time.perf_counter() - t0)
-    unpiped_p50 = float(np.percentile(times, 50) * 1e3)
+    unpiped_p50s = []
+    for _ in range(p50_repeats):
+        times = []
+        for _ in range(host_steps):
+            t0 = time.perf_counter()
+            st, out, _ = proc.step(st, block, params)
+            _fence(out)
+            times.append(time.perf_counter() - t0)
+        unpiped_p50s.append(float(np.percentile(times, 50) * 1e3))
 
-    # --- host-loop p50, pipelined depth 2 (the gccnmf-realtime
-    # --pipeline-depth path: dispatch block n, async-copy, fetch block
-    # n-2's output — the round trip leaves the deadline path for 2 blocks
-    # of extra latency) -----------------------------------------------------
+    # pipelined depth 2 (the gccnmf-realtime --pipeline-depth path:
+    # dispatch block n, async-copy, fetch block n-2's output — the round
+    # trip leaves the deadline path for 2 blocks of extra latency)
+    piped_p50s = []
+    for _ in range(p50_repeats):
+        st = proc.init_state(1)
+        q = deque()
+        times = []
+        for _ in range(host_steps):
+            t0 = time.perf_counter()
+            st, out, _ = proc.step(st, block, params)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            q.append(out)
+            if len(q) > 2:
+                np.asarray(q.popleft())  # the consumer's full-block fetch
+            times.append(time.perf_counter() - t0)
+        piped_p50s.append(float(np.percentile(times, 50) * 1e3))
+    return dict(
+        device_ms=device_ms,
+        piped_p50=float(np.median(piped_p50s)),
+        piped_p50_minmax=[min(piped_p50s), max(piped_p50s)],
+        unpiped_p50=float(np.median(unpiped_p50s)),
+        unpiped_p50_minmax=[min(unpiped_p50s), max(unpiped_p50s)],
+        rt_factor=rt_factor,
+        multi_rt=multi_rt,
+    )
+
+
+def bench_low_latency(sr, host_steps: int = 40, synthesis_length: int = 24):
+    """The low-latency workload (asymmetric windows) on the chip.
+
+    The reference's headline latency claim is "<2 ms algorithmic latency
+    with asymmetric windowing" vs the >64 ms symmetric floor
+    (/root/reference/README.md:78). This measures the shipping
+    `gccnmf-stream --low-latency --synthesis-length 24` configuration —
+    long (1024) analysis window, 24-sample synthesis support, hop =
+    block = 12 samples — end to end: algorithmic latency, device compute
+    per block (a whole-utterance scan: the honest kernel number), and
+    the host-loop p50s both pipelined and unpipelined. At a 12-sample
+    block the deadline is 0.75 ms, so the unpipelined number is pure
+    tunnel round trip; the device number is what a directly-attached
+    host would ride."""
+    import jax.numpy as jnp
+
+    from gccnmf_tpu.models.realtime import (
+        RTGCCNMFProcessor,
+        StreamConfig,
+        StreamParams,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.random((513, 64)).astype(np.float32) + 1e-3
+    hop = synthesis_length // 2
+    cfg = StreamConfig(
+        sample_rate=sr,
+        analysis_window="asymmetric",
+        synthesis_length=synthesis_length,
+        hop_size=hop,
+        block_size=hop,
+    )
+    proc = RTGCCNMFProcessor(w, cfg)
+    params = StreamParams.default()
+
+    # device per-block latency over a 2 s utterance scan (each block is
+    # one hop = 0.75 ms of audio, so 2 s is ~2667 blocks)
+    sig = np.asarray(rng.standard_normal((1, 2, 2 * sr)), np.float32) * 0.1
+    blocks = jnp.asarray(proc.blocks_from_signal(sig))
+    nb = blocks.shape[0]
+    state = proc.init_state(1)
+    scan_s = _timed_loop(lambda: proc.scan_blocks(state, blocks, params), 3)
+    device_ms = scan_s / nb * 1e3
+    rt_factor = (nb * cfg.block_size / sr) / scan_s
+
+    # host-loop p50s, 4 repeats, median headline (same discipline as the
+    # symmetric streaming numbers)
     from collections import deque
 
-    st = proc.init_state(1)
-    q = deque()
-    times = []
-    for _ in range(host_steps):
-        t0 = time.perf_counter()
-        st, out, _ = proc.step(st, block, params)
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass
-        q.append(out)
-        if len(q) > 2:
-            np.asarray(q.popleft())  # the consumer's full-block fetch
-        times.append(time.perf_counter() - t0)
-    piped_p50 = float(np.percentile(times, 50) * 1e3)
-    return device_ms, piped_p50, unpiped_p50, rt_factor, multi_rt
+    block = blocks[0]
+    st, out, _ = proc.step(proc.init_state(1), block, params)
+    _fence(out)
+    unpiped_p50s, piped_p50s = [], []
+    for _ in range(4):
+        times = []
+        st = proc.init_state(1)
+        for _ in range(host_steps):
+            t0 = time.perf_counter()
+            st, out, _ = proc.step(st, block, params)
+            _fence(out)
+            times.append(time.perf_counter() - t0)
+        unpiped_p50s.append(float(np.percentile(times, 50) * 1e3))
+    for _ in range(4):
+        st = proc.init_state(1)
+        q = deque()
+        times = []
+        for _ in range(host_steps):
+            t0 = time.perf_counter()
+            st, out, _ = proc.step(st, block, params)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            q.append(out)
+            if len(q) > 2:
+                np.asarray(q.popleft())
+            times.append(time.perf_counter() - t0)
+        piped_p50s.append(float(np.percentile(times, 50) * 1e3))
+
+    algo_ms = cfg.algorithmic_latency_s * 1e3
+    return {
+        "synthesis_length": synthesis_length,
+        "hop": hop,
+        "algorithmic_latency_ms": round(algo_ms, 3),
+        "symmetric_floor_ms": 64.0,
+        "reference_claim_ms": 2.0,
+        "beats_symmetric_floor": bool(algo_ms < 64.0),
+        "meets_reference_claim": bool(algo_ms < 2.0),
+        "device_ms_per_block": round(device_ms, 4),
+        "block_deadline_ms": round(hop / sr * 1e3, 3),
+        "device_realtime_factor": round(rt_factor, 1),
+        "p50_block_latency_ms": round(float(np.median(piped_p50s)), 3),
+        "p50_minmax_ms": [round(min(piped_p50s), 3), round(max(piped_p50s), 3)],
+        "unpipelined_p50_ms": round(float(np.median(unpiped_p50s)), 3),
+        "unpipelined_p50_minmax_ms": [
+            round(min(unpiped_p50s), 3), round(max(unpiped_p50s), 3)
+        ],
+    }
 
 
 def main():
@@ -541,7 +678,10 @@ def main():
     achieved = batch * flops["total"] / offline["device_s_per_call"] / 1e12
     peak = _peak_tflops(str(jax.devices()[0]))
     try:
-        stage_split, _ = bench_stage_split(stereo, sr, batch, args.quick)
+        stage_split, _ = bench_stage_split(
+            stereo, sr, batch, args.quick,
+            end_to_end_s=offline["device_s_per_call"],
+        )
     except Exception as e:
         print(f"# stage split failed: {e}", file=sys.stderr)
         stage_split = None
@@ -551,7 +691,12 @@ def main():
     online_throughput = bench_online_tpu(
         stereo, sr, min(batch, 64), args.repeats, args.quick
     )
-    device_ms, p50_ms, unpiped_p50_ms, stream_rt, multi_rt = bench_streaming(sr)
+    streaming = bench_streaming(sr)
+    try:
+        low_latency = bench_low_latency(sr)
+    except Exception as e:
+        print(f"# low-latency bench failed: {e}", file=sys.stderr)
+        low_latency = None
     if args.skip_numpy:
         numpy_throughput = None
         quality_db = parity_db = quality_pesq = parity_pesq = None
@@ -589,6 +734,10 @@ def main():
         },
         "stage_split_ms": stage_split,
         "with_host_io_audio_s_per_s": round(piped_io_throughput, 2),
+        "with_host_io_minmax_audio_s_per_s": [
+            round(offline["piped_thr_min"], 2),
+            round(offline["piped_thr_max"], 2),
+        ],
         "with_host_io_serial_audio_s_per_s": round(host_io_throughput, 2),
         "with_host_io_repeats_s": offline["piped_repeats_s"],
         "enhancement_audio_s_per_s": round(enhance_throughput, 2),
@@ -605,12 +754,21 @@ def main():
         "quality_parity_mode_pesq": (
             round(parity_pesq, 2) if parity_pesq is not None else None
         ),
-        "streaming_device_ms_per_block": round(device_ms, 3),
-        "streaming_realtime_factor": round(stream_rt, 1),
-        "streaming_64streams_aggregate_rt_factor": round(multi_rt, 1),
-        "streaming_p50_block_latency_ms": round(p50_ms, 3),
-        "streaming_unpipelined_p50_ms": round(unpiped_p50_ms, 3),
+        "streaming_device_ms_per_block": round(streaming["device_ms"], 3),
+        "streaming_realtime_factor": round(streaming["rt_factor"], 1),
+        "streaming_64streams_aggregate_rt_factor": round(
+            streaming["multi_rt"], 1
+        ),
+        "streaming_p50_block_latency_ms": round(streaming["piped_p50"], 3),
+        "streaming_p50_minmax_ms": [
+            round(x, 3) for x in streaming["piped_p50_minmax"]
+        ],
+        "streaming_unpipelined_p50_ms": round(streaming["unpiped_p50"], 3),
+        "streaming_unpipelined_p50_minmax_ms": [
+            round(x, 3) for x in streaming["unpiped_p50_minmax"]
+        ],
         "streaming_block_deadline_ms": 32.0,
+        "low_latency": low_latency,
         "audio_source": source,
         "batch": batch,
         "backend": jax.default_backend(),
@@ -620,18 +778,52 @@ def main():
     # chip by benchmarks/streamed_bench.py (a 30-minute ingest inside
     # this run would be dominated by tunnel variance) and committed as an
     # artifact; folded in marked as such
-    streamed_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "docs",
-        "streamed_30min.json",
-    )
-    if os.path.exists(streamed_path):
+    docs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for key, fname in (
+        ("streamed_30min", "streamed_30min.json"),
+        ("streamed_60min", "streamed_60min.json"),
+    ):
+        path = os.path.join(docs_dir, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    streamed = json.load(fh)
+                streamed["measured_by"] = (
+                    "benchmarks/streamed_bench.py (committed artifact)"
+                )
+                result[key] = streamed
+            except Exception as e:
+                print(f"# streamed artifact unreadable: {e}", file=sys.stderr)
+    # six-WAV default-pipeline parity (BASELINE.md's "the bundled dev
+    # WAVs" axis, plural): min across all six files x 3 sources of
+    # SNR / BSS-Eval SDR / PESQ vs the NumPy oracle, in both shipping
+    # modes — measured on the real chip by benchmarks/parity_six_wavs.py
+    # and committed (running 6 oracle pipelines + 12 TPU runs inside
+    # every bench invocation would double its wall time for a
+    # deterministic result)
+    six_path = os.path.join(docs_dir, "parity_six_wavs.json")
+    if os.path.exists(six_path):
         try:
-            with open(streamed_path) as fh:
-                streamed = json.load(fh)
-            streamed["measured_by"] = "benchmarks/streamed_bench.py (committed artifact)"
-            result["streamed_30min"] = streamed
+            with open(six_path) as fh:
+                six = json.load(fh)
+            s = six["summary"]
+            result["quality_six_wav"] = {
+                "num_wavs": six["num_wavs"],
+                "localization_match_all": (
+                    s["throughput"]["localization_match_all"]
+                    and s["parity"]["localization_match_all"]
+                ),
+                "min_snr_db": s["throughput"]["min_snr_db"],
+                "min_bss_sdr_db": s["throughput"]["min_bss_sdr_db"],
+                "min_pesq": s["throughput"]["min_pesq"],
+                "parity_mode_min_snr_db": s["parity"]["min_snr_db"],
+                "parity_mode_min_pesq": s["parity"]["min_pesq"],
+                "measured_by": (
+                    "benchmarks/parity_six_wavs.py (committed artifact)"
+                ),
+            }
         except Exception as e:
-            print(f"# streamed artifact unreadable: {e}", file=sys.stderr)
+            print(f"# six-wav parity artifact unreadable: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Default-pipeline parity study on ALL six bundled dev WAVs.
+
+BASELINE.md's parity axis is "waveform allclose + SDR/PESQ parity vs the
+NumPy reference on the bundled dev WAVs" — plural. `/root/reference/data/`
+ships six SiSEC-style mixtures; the closely-spaced four-speaker files
+(`dev_A/B/C/D_*`, adjacent TDOA bins) are exactly where bf16 numerics
+drift would bite first, so parity must be evidenced on every one of them,
+not just the demo file.
+
+For each WAV this runs the NumPy oracle (`baselines/numpy_ref.separate_ref`,
+the independent restatement of gccNMF/gccNMFFunctions.py semantics) at the
+reference demo configuration (runGCCNMF.py:56-77) and the TPU pipeline in
+BOTH shipping modes:
+
+- **throughput** — the default `OfflineConfig` (bf16_q Pallas NMF, fused
+  front-end/synthesis kernels): the numbers users actually get;
+- **parity** — f32 NMF trajectory + `Precision.HIGHEST` GEMMs: the
+  exact-numerics configuration.
+
+Per WAV × mode × source it records waveform SNR, BSS-Eval SDR (projection-
+based, catches gain/filtering drift plain SNR forgives), and PESQ vs the
+oracle waveform, plus whether localization (the target TDOA index set)
+matched exactly. Output: `docs/parity_six_wavs.json` with per-WAV detail
+and the min-across-everything summary that bench.py folds into its quality
+keys.
+
+Run on the real chip:  python benchmarks/parity_six_wavs.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+_DATA = os.environ.get("GCCNMF_DATA_DIR", "/root/reference/data")
+_OUT = os.path.join(_REPO, "docs", "parity_six_wavs.json")
+
+
+def _mode_cfg(sr: int, mode: str, quick: bool):
+    from gccnmf_tpu.models.offline import OfflineConfig
+
+    kw = {}
+    if quick:
+        kw = dict(num_iterations=10, dictionary_size=32)
+    cfg = OfflineConfig(sample_rate=sr, **kw)
+    if mode == "parity":
+        cfg = dataclasses.replace(cfg, nmf_matmul_dtype="float32")
+    return cfg
+
+
+def _compare(ref: dict, got: dict, sr: int) -> dict:
+    """Per-source SNR / BSS-Eval SDR / PESQ of `got` vs the oracle `ref`."""
+    from gccnmf_tpu.metrics import bss_eval_sources, pesq, snr
+
+    out: dict = {
+        "targets_oracle": [int(t) for t in ref["targets"]],
+        "targets_tpu": [int(t) for t in got["target_tdoa_indexes"]],
+    }
+    out["localization_match"] = out["targets_oracle"] == out["targets_tpu"]
+    if not out["localization_match"]:
+        return out
+    ref_est = np.asarray(ref["estimates"])
+    tpu_est = np.asarray(got["estimates"])
+    n = min(ref_est.shape[-1], tpu_est.shape[-1])
+    ref_est, tpu_est = ref_est[..., :n], tpu_est[..., :n]
+    out["snr_db"] = [
+        round(float(snr(ref_est[i], tpu_est[i])), 2)
+        for i in range(ref_est.shape[0])
+    ]
+    sdr, _, _, _ = bss_eval_sources(
+        ref_est.mean(axis=1), tpu_est.mean(axis=1)
+    )
+    out["bss_sdr_db"] = [round(float(x), 2) for x in np.asarray(sdr)]
+    pesqs = []
+    for i in range(ref_est.shape[0]):
+        try:
+            pesqs.append(
+                round(float(pesq(ref_est[i].mean(0), tpu_est[i].mean(0), sr)), 3)
+            )
+        except Exception as e:  # a failure IS parity evidence — record it
+            print(f"#   pesq failed source {i}: {e}", file=sys.stderr)
+            pesqs.append(None)
+    out["pesq"] = pesqs
+    return out
+
+
+def run_study(quick: bool = False, wav_paths=None) -> dict:
+    import jax
+
+    # share bench.py's persistent compilation cache — fresh compiles of
+    # the full separation program through the axon tunnel are minutes
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(_REPO, ".cache", "jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from gccnmf_tpu.baselines import numpy_ref
+    from gccnmf_tpu.models.offline import GCCNMFSeparator
+    from gccnmf_tpu.ops import xprec
+    from gccnmf_tpu.utils import wav as wavio
+
+    paths = wav_paths or sorted(glob.glob(os.path.join(_DATA, "*.wav")))
+    if not paths:
+        raise SystemExit(f"no WAVs under {_DATA}")
+
+    ref_kwargs = dict(num_sources=3)
+    if quick:
+        ref_kwargs.update(num_iterations=10, dictionary_size=32)
+
+    wavs = {}
+    for path in paths:
+        name = os.path.basename(path)
+        stereo, sr = wavio.read_wav(path)
+        print(f"# {name}: oracle...", file=sys.stderr)
+        t0 = time.perf_counter()
+        ref = numpy_ref.separate_ref(stereo, sr, **ref_kwargs)
+        oracle_s = time.perf_counter() - t0
+        entry = {"oracle_s": round(oracle_s, 2), "sample_rate": sr}
+        for mode in ("throughput", "parity"):
+            cfg = _mode_cfg(sr, mode, quick)
+            old_level = xprec.current_level()
+            if mode == "parity":
+                xprec.set_matmul_precision("highest")
+            try:
+                got = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
+            finally:
+                xprec.set_matmul_precision(old_level)
+            entry[mode] = _compare(ref, got, sr)
+            print(f"#   {mode}: {entry[mode]}", file=sys.stderr)
+        wavs[name] = entry
+
+    def _mins(mode):
+        loc_ok = all(wavs[n][mode]["localization_match"] for n in wavs)
+        vals = {"localization_match_all": loc_ok}
+        for key in ("snr_db", "bss_sdr_db", "pesq"):
+            per = [
+                v
+                for n in wavs
+                for v in wavs[n][mode].get(key, [])
+                if v is not None
+            ]
+            vals[f"min_{key}"] = min(per) if per else None
+        return vals
+
+    return {
+        "config": "reference demo (runGCCNMF.py:56-77)" + (" [quick]" if quick else ""),
+        "num_wavs": len(wavs),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "summary": {m: _mins(m) for m in ("throughput", "parity")},
+        "wavs": wavs,
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=_OUT)
+    args = ap.parse_args()
+    result = run_study(quick=args.quick)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result["summary"]))
+
+
+if __name__ == "__main__":
+    main()

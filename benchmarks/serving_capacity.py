@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Serving capacity on the real chip: tenancy vs p50/p99 tick latency.
+
+The deployment question BENCH's aggregate realtime factor doesn't answer:
+**how many concurrent streams can one chip serve while still meeting the
+32 ms block deadline at p99?** (Deadline derivation: blockSize 512 @
+16 kHz, reference gccNMF/realtime/config.py:63,68.)
+
+Sweeps tenancy over the lockstep StreamServer at the production
+configuration (pipeline_depth=2 — the dispatch round trip leaves the
+deadline path; the consumer's blocking fetch of tick N−2's output is
+*included*, it is the real output path). Per tenancy: 500 free-running
+ticks (a stress superset of the paced 32 ms cadence), p50/p90/p99/max of
+per-tick wall time, deadline misses, and the aggregate realtime factor.
+The summary reports max streams meeting the deadline at p99.
+
+Output: docs/scaling/serving_capacity.json (committed artifact; bench.py
+folds the summary in).
+
+Run on the real chip:  python benchmarks/serving_capacity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+_OUT = os.path.join(_REPO, "docs", "scaling", "serving_capacity.json")
+
+TENANCIES = (1, 8, 32, 64, 128)
+TICKS = 500
+WARMUP = 20
+PIPELINE_DEPTH = 2
+
+
+def _setup_jax():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(_REPO, ".cache", "jaxcache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    return jax
+
+
+def sweep_one(n_streams: int, ticks: int = TICKS, warmup: int = WARMUP) -> dict:
+    from gccnmf_tpu.serving import StreamServer, StreamSettings
+    from gccnmf_tpu.models.realtime import StreamConfig
+
+    rng = np.random.default_rng(0)
+    w = rng.random((513, 64)).astype(np.float32) + 1e-3
+    cfg = StreamConfig(sample_rate=16000)
+    server = StreamServer(
+        w, cfg, max_streams=n_streams, pipeline_depth=PIPELINE_DEPTH
+    )
+    sids = [server.open_stream(StreamSettings()) for _ in range(n_streams)]
+
+    # rotate through pre-generated block batches so host-side RNG stays
+    # out of the measured tick (2-core host; generating 128x2x512 floats
+    # per tick would be measurement noise)
+    pool = [
+        rng.standard_normal(
+            (n_streams, cfg.num_channels, cfg.block_size)
+        ).astype(np.float32)
+        * 0.1
+        for _ in range(8)
+    ]
+
+    def submit(i):
+        batch = pool[i % len(pool)]
+        return server.process({sid: batch[j] for j, sid in enumerate(sids)})
+
+    for i in range(warmup):
+        submit(i)
+    times = []
+    for i in range(ticks):
+        t0 = time.perf_counter()
+        submit(i)
+        times.append(time.perf_counter() - t0)
+    server.flush()
+
+    times_ms = np.asarray(times) * 1e3
+    deadline_ms = cfg.block_size / cfg.sample_rate * 1e3
+    p50, p90, p99 = (float(np.percentile(times_ms, q)) for q in (50, 90, 99))
+    return dict(
+        streams=n_streams,
+        ticks=ticks,
+        pipeline_depth=PIPELINE_DEPTH,
+        deadline_ms=deadline_ms,
+        p50_ms=round(p50, 3),
+        p90_ms=round(p90, 3),
+        p99_ms=round(p99, 3),
+        max_ms=round(float(times_ms.max()), 3),
+        mean_ms=round(float(times_ms.mean()), 3),
+        deadline_misses=int((times_ms > deadline_ms).sum()),
+        meets_deadline_at_p99=bool(p99 < deadline_ms),
+        aggregate_realtime_factor=round(
+            n_streams * deadline_ms / float(np.mean(times_ms)), 1
+        ),
+    )
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=TICKS)
+    ap.add_argument("--out", default=_OUT)
+    ap.add_argument(
+        "--tenancies", type=int, nargs="*", default=list(TENANCIES)
+    )
+    args = ap.parse_args()
+
+    jax = _setup_jax()
+    rows = []
+    for n in args.tenancies:
+        row = sweep_one(n, ticks=args.ticks)
+        rows.append(row)
+        print(f"# {json.dumps(row)}", file=sys.stderr)
+
+    meeting = [r["streams"] for r in rows if r["meets_deadline_at_p99"]]
+    result = dict(
+        metric="serving capacity",
+        max_streams_meeting_deadline_at_p99=max(meeting) if meeting else 0,
+        deadline_ms=rows[0]["deadline_ms"] if rows else 32.0,
+        pipeline_depth=PIPELINE_DEPTH,
+        note=(
+            "free-running ticks (stress superset of the paced 32 ms "
+            "cadence); p99 over %d ticks/tenancy; tick includes the "
+            "blocking fetch of tick N-2's output (the consumer path)"
+            % args.ticks
+        ),
+        backend=jax.default_backend(),
+        device=str(jax.devices()[0]),
+        tenancies=rows,
+    )
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({k: result[k] for k in (
+        "max_streams_meeting_deadline_at_p99", "deadline_ms")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,11 @@ Run: python examples/evaluate_separation.py
 """
 
 import numpy as np
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from gccnmf_tpu.metrics import bss_eval_sources
 from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig

@@ -13,6 +13,11 @@ recordings that exceed one chip's HBM.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from gccnmf_tpu import defs
 from gccnmf_tpu.models.offline import OfflineConfig

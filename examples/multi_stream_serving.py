@@ -10,6 +10,11 @@ lockstep batch is the TPU-native scale-out of its audio/DSP process pair.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

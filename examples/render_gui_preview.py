@@ -11,6 +11,11 @@ remote hosts).
 
 import argparse
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import matplotlib
 
 matplotlib.use("Agg", force=True)

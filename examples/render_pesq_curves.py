@@ -20,6 +20,11 @@ numbers, for the pinned assertions in tests/test_metrics.py::TestPesqCurves).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 

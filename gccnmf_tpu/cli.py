@@ -153,7 +153,12 @@ def enhance_main(argv=None):
     ap = argparse.ArgumentParser(description="GCC-NMF speech enhancement")
     ap.add_argument("input", nargs="+",
                     help="stereo WAV(s); same-length files at the same "
-                         "sample rate reuse one compiled program")
+                         "sample rate reuse one compiled program. The NMF "
+                         "dictionary is resolved ONCE from the config and "
+                         "the FIRST input (when pretraining falls back to "
+                         "the input audio) and reused for every file — "
+                         "pass --dictionary-file for an explicit shared "
+                         "dictionary with heterogeneous inputs")
     ap.add_argument("-o", "--output", default=None,
                     help="output path (single input only; multiple inputs "
                          "write <input>_enhanced.wav next to each file)")

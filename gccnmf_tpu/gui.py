@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
+from collections import deque
 
 import numpy as np
 
@@ -352,6 +354,13 @@ class RealtimeGCCNMFWindow:
         self._playing = threading.Event()
         self._stop = threading.Event()
         self._worker: threading.Thread | None = None
+        # live-output health, written by the pump thread and rendered by
+        # the 100 ms refresh timer (reference analogue: the audio
+        # process's 2 s processing-time log, audioProcessor.py:98-102);
+        # plain int/deque updates are GIL-atomic enough for telemetry
+        self.blocks_processed = 0
+        self.deadline_misses = 0
+        self._proc_times: deque = deque(maxlen=64)
         if output_stream is None:
             from gccnmf_tpu.realtime.audio import open_output_stream
 
@@ -390,6 +399,15 @@ class RealtimeGCCNMFWindow:
     def _build_controls(self, tk):
         cfg = self.app.config
         model = self.view.model
+        # status line: live-output health (block count, processing time,
+        # deadline misses, output underruns/overruns) — the window-borne
+        # version of the reference's periodic processing-time log
+        status = tk.Frame(self.root)
+        status.pack(side=tk.BOTTOM, fill=tk.X)
+        self.status_var = tk.StringVar(value="idle")
+        tk.Label(status, textvariable=self.status_var, anchor="w").pack(
+            side=tk.LEFT, padx=4
+        )
         bar = tk.Frame(self.root)
         bar.pack(side=tk.BOTTOM, fill=tk.X)
 
@@ -509,13 +527,20 @@ class RealtimeGCCNMFWindow:
             self.app.audio_path, cfg.block_size, loop=self.loop, realtime=True
         )
         stream = self.output_stream
+        deadline = cfg.block_size / cfg.sample_rate
         for block in source.blocks():
             if self._stop.is_set():
                 return
             self._playing.wait()
             if self._stop.is_set():
                 return
+            t0 = time.perf_counter()
             out = self.app.process_block(block)
+            dt = time.perf_counter() - t0
+            self._proc_times.append(dt)
+            self.blocks_processed += 1
+            if dt > deadline:
+                self.deadline_misses += 1
             # play the enhanced block live (the reference demo's entire
             # point: audioProcessor.py:106-132); without an audio backend
             # stream is None and the output is discarded as before
@@ -546,8 +571,33 @@ class RealtimeGCCNMFWindow:
         if self._stop.is_set():
             return
         self.view.refresh()
+        self._update_status()
         self.canvas.draw_idle()
         self.root.after(_REFRESH_MS, self._refresh)
+
+    def _update_status(self):
+        """Render live-output health into the status line (reference
+        analogue: min/max/avg block processing time logged every 2 s,
+        audioProcessor.py:98-102 — plus the deadline/underrun accounting
+        the reference never surfaced)."""
+        if not self.blocks_processed:
+            return
+        times = list(self._proc_times)
+        text = (
+            f"blocks {self.blocks_processed}"
+            f" | proc {np.mean(times) * 1e3:.1f} ms"
+            f" (min {np.min(times) * 1e3:.1f} / max {np.max(times) * 1e3:.1f})"
+            if times
+            else f"blocks {self.blocks_processed}"
+        )
+        text += f" | deadline misses {self.deadline_misses}"
+        stream = self.output_stream
+        if stream is not None:
+            text += (
+                f" | underruns {getattr(stream, 'underruns', 0)}"
+                f" | overruns {getattr(stream, 'overruns', 0)}"
+            )
+        self.status_var.set(text)
 
     # ------------------------------------------------------------- lifecycle
 

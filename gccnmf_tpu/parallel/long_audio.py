@@ -412,6 +412,18 @@ class LongAudioSeparator:
     def _separate_streamed_chunked(
         self, reader, mixture_path, output_prefix, num_sources
     ):
+        # The chunked passes dispatch through plain ``jit`` (no mesh
+        # shardings), which lands on JAX's *default* device — pin
+        # dispatch to the mesh's device so a 1-device mesh built over a
+        # non-default device computes where the caller specified.
+        with jax.default_device(list(self.mesh.devices.flat)[0]):
+            return self._separate_streamed_chunked_body(
+                reader, mixture_path, output_prefix, num_sources
+            )
+
+    def _separate_streamed_chunked_body(
+        self, reader, mixture_path, output_prefix, num_sources
+    ):
         """Sequential macro-chunk streaming on one device.
 
         Pass 1 streams bounded sample chunks through the STFT/GCC front
@@ -555,10 +567,17 @@ class LongAudioSeparator:
                 # bytes, the output is int16 PCM regardless); the seam
                 # carry stays pre-gain float
                 scaled = y[..., : tc * hop] * gain
+                # exact per-target clip tally, counted on-device BEFORE
+                # quantization (the writer's own |float| >= 1.0 test) —
+                # boundary-code counting would misreport legitimate
+                # samples in [1-2^-15, 1) as clipped
+                clips = (
+                    (jnp.abs(scaled) >= 1.0).sum(axis=(1, 2)).astype(jnp.int32)
+                )
                 pcm = (
                     jnp.clip(scaled, -1.0, 1.0 - 2.0**-15) * 32768.0
                 ).astype(jnp.int16)
-                return pcm, y[..., tc * hop :]
+                return pcm, clips, y[..., tc * hop :]
 
             return jax.jit(fn)
 
@@ -575,21 +594,21 @@ class LongAudioSeparator:
         # but which samples those are is only known at the end
         pending = [np.zeros((2, 0), np.int16) for _ in range(n_targets)]
 
+        # device-counted clip tallies not yet handed to a writer (emit may
+        # hold samples back while it waits for the trim boundary, so
+        # counts are owed until the next actual write; the tally can
+        # include clips inside the trimmed leading/trailing half-window —
+        # acceptable for a close() warning, and exact per sample
+        # otherwise)
+        clip_owed = np.zeros(max(n_targets, 1), np.int64)
+
         def emit(block: np.ndarray) -> None:
             for n in range(n_targets):  # block: (N, 2, L) int16 PCM
                 buf = np.concatenate([pending[n], block[n]], axis=-1)
                 cut = buf.shape[-1] - half
                 if cut > 0:
-                    out = buf[:, :cut]
-                    # clip tally from the written samples themselves:
-                    # boundary codes are exactly what the writer's
-                    # |float| >= 1.0 check maps to (±1.0 lands on them;
-                    # values in [1−2⁻¹⁵, 1) also truncate to 32767 —
-                    # a warning-tally-grade approximation)
-                    clipped = int(
-                        ((out == 32767) | (out == -32768)).sum()
-                    )
-                    writers[n].write_pcm(out, clipped)
+                    writers[n].write_pcm(buf[:, :cut], int(clip_owed[n]))
+                    clip_owed[n] = 0
                     buf = buf[:, cut:]
                 pending[n] = buf
 
@@ -603,7 +622,9 @@ class LongAudioSeparator:
 
         def drain_one() -> None:
             nonlocal lead
-            block = np.asarray(inflight.pop(0))
+            pcm_d, clips_d = inflight.pop(0)
+            block = np.asarray(pcm_d)
+            clip_owed[:n_targets] += np.asarray(clips_d, np.int64)
             drop = min(lead, block.shape[-1])
             if drop:
                 block = block[..., drop:]
@@ -614,10 +635,10 @@ class LongAudioSeparator:
         lookahead = 4
         for t0, tc in chunk_grid:
             recon = recon_cache.setdefault(tc, make_reconstruct(tc))
-            pcm, carry = recon(
+            pcm, clips, carry = recon(
                 spec_re, spec_im, h, w, targets_dev, t0, carry
             )
-            inflight.append(pcm)
+            inflight.append((pcm, clips))
             if len(inflight) > lookahead:
                 drain_one()
         while inflight:
@@ -633,6 +654,11 @@ class LongAudioSeparator:
             )
             if buf.shape[-1] > half:
                 writers[n].write(buf[:, : buf.shape[-1] - half])
+            if clip_owed[n]:  # tallies whose write was trimmed away
+                writers[n].write_pcm(
+                    np.zeros((2, 0), np.int16), int(clip_owed[n])
+                )
+                clip_owed[n] = 0
         paths = [w_.close() for w_ in writers]
         return dict(
             paths=paths,
