@@ -52,6 +52,43 @@ def _setup_jax():
     return jax
 
 
+def device_tick_ms(n_streams: int) -> float:
+    """Per-tick device compute at this tenancy: a whole-utterance scan
+    over the lockstep batch (no host round trips inside — what a
+    directly-attached host's tick would ride)."""
+    import jax.numpy as jnp
+
+    from gccnmf_tpu.models.realtime import (
+        RTGCCNMFProcessor,
+        StreamConfig,
+        StreamParams,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.random((513, 64)).astype(np.float32) + 1e-3
+    cfg = StreamConfig(sample_rate=16000)
+    proc = RTGCCNMFProcessor(w, cfg)
+    params = StreamParams.default()
+    sigs = np.asarray(
+        rng.standard_normal((n_streams, 2, 2 * 16000)), np.float32
+    ) * 0.1
+    blocks = jnp.asarray(proc.blocks_from_signal(sigs))
+    nb = blocks.shape[0]
+    state = proc.init_state(n_streams)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(_REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    scan_s = bench._timed_loop(
+        lambda: proc.scan_blocks(state, blocks, params), 3
+    )
+    return scan_s / nb * 1e3
+
+
 def sweep_one(n_streams: int, ticks: int = TICKS, warmup: int = WARMUP) -> dict:
     from gccnmf_tpu.serving import StreamServer, StreamSettings
     from gccnmf_tpu.models.realtime import StreamConfig
@@ -124,19 +161,32 @@ def main():
     rows = []
     for n in args.tenancies:
         row = sweep_one(n, ticks=args.ticks)
+        row["device_ms_per_tick"] = round(device_tick_ms(n), 3)
+        row["device_meets_deadline"] = bool(
+            row["device_ms_per_tick"] < row["deadline_ms"]
+        )
         rows.append(row)
         print(f"# {json.dumps(row)}", file=sys.stderr)
 
     meeting = [r["streams"] for r in rows if r["meets_deadline_at_p99"]]
+    dev_meeting = [r["streams"] for r in rows if r["device_meets_deadline"]]
     result = dict(
         metric="serving capacity",
+        # two tiers, because this harness reaches the chip through the
+        # axon tunnel whose ~26-30 ms round trip and tail spikes dominate
+        # the host-loop p99 (p99 at tenancy 1 is already ~31 ms against
+        # 0.04 ms of device compute): the host-loop number is what THIS
+        # harness sustains; the device-compute number is what bounds a
+        # directly-attached production host (+~0.2 ms dispatch)
         max_streams_meeting_deadline_at_p99=max(meeting) if meeting else 0,
+        max_streams_by_device_compute=max(dev_meeting) if dev_meeting else 0,
         deadline_ms=rows[0]["deadline_ms"] if rows else 32.0,
         pipeline_depth=PIPELINE_DEPTH,
         note=(
             "free-running ticks (stress superset of the paced 32 ms "
             "cadence); p99 over %d ticks/tenancy; tick includes the "
-            "blocking fetch of tick N-2's output (the consumer path)"
+            "blocking fetch of tick N-2's output (the consumer path) and "
+            "rides the axon tunnel both ways"
             % args.ticks
         ),
         backend=jax.default_backend(),

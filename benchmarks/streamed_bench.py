@@ -1,18 +1,32 @@
 """Hour-scale disk-streamed separation benchmark (real chip).
 
-Synthesizes a long stereo WAV (default 30 minutes), runs the
-disk-streamed long-audio path (`LongAudioSeparator.separate_streamed` —
-mmap ingest, per-shard device loads, incremental 16-bit writers) on the
-single real chip, and reports audio-seconds/s plus peak host RSS — the
-measured number behind the O(chunk)-RAM claim (docs/DESIGN.md
-"Disk-streamed long audio").
+Synthesizes a long stereo WAV, runs the disk-streamed long-audio path
+(`LongAudioSeparator.separate_streamed` — mmap ingest, chunked device
+loads, incremental 16-bit writers) on the single real chip, and reports
+audio-seconds/s plus host-memory accounting that actually separates the
+two things RSS conflates:
 
-The result JSON is written to ``docs/streamed_30min.json``; ``bench.py``
-folds that committed artifact into its output under ``streamed_30min``
-(marked as separately measured — a 30-minute ingest inside the driver's
-bench run would be dominated by axon-tunnel variance).
+- ``peak_anon_mib`` (``RssAnon``): anonymous memory — the heap, device
+  transfer buffers, runtime state. This is what the O(chunk)-RAM claim
+  is about; it must stay bounded as the input grows.
+- ``peak_file_mib`` (``RssFile``): file-backed pages — the mmap'd input
+  WAV riding the page cache. This grows with the input by design and is
+  reclaimable by the kernel on memory pressure; counting it against the
+  pipeline (as a bare RSS number does) misattributes ~90% of the
+  footprint.
 
-Run: python benchmarks/streamed_bench.py [--minutes 30] [--shards 8]
+A sampler thread polls ``/proc/self/status`` once a second through the
+run, so the peaks are observed, not end-state. The headline elapsed time
+is the MEDIAN of the repeats (min/max recorded raw): the axon tunnel's
+bulk throughput swings by integer factors between identical runs
+(docs/DESIGN.md "Harness caveats"), and a best-of headline flattered the
+transfer-bound number.
+
+Results: ``docs/streamed_30min.json`` / ``docs/streamed_60min.json``;
+``bench.py`` folds both committed artifacts in (a 30-60 minute ingest
+inside the driver's bench run would be dominated by tunnel variance).
+
+Run: python benchmarks/streamed_bench.py [--minutes 60] [--repeats 4]
 """
 
 from __future__ import annotations
@@ -22,6 +36,7 @@ import json
 import os
 import resource
 import sys
+import threading
 import time
 
 import numpy as np
@@ -59,34 +74,94 @@ def synthesize_wav(path: str, minutes: float, sr: int = 16000) -> int:
     return n_total
 
 
+def _read_status_kib() -> dict:
+    """VmRSS / RssAnon / RssFile (+shmem) in KiB from /proc/self/status."""
+    out = {}
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            for key in ("VmRSS", "RssAnon", "RssFile", "RssShmem"):
+                if line.startswith(key + ":"):
+                    out[key] = int(line.split()[1])
+    return out
+
+
+class MemSampler:
+    """1 Hz peak tracker for anonymous vs file-backed resident memory."""
+
+    def __init__(self, period_s: float = 1.0):
+        self.period_s = period_s
+        self.peaks = {"VmRSS": 0, "RssAnon": 0, "RssFile": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self):
+        try:
+            cur = _read_status_kib()
+        except OSError:
+            return
+        for k in self.peaks:
+            self.peaks[k] = max(self.peaks[k], cur.get(k, 0))
+
+    def _run(self):
+        while not self._stop.is_set():
+            self._sample()
+            self._stop.wait(self.period_s)
+
+    def __enter__(self):
+        self._sample()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._sample()
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--minutes", type=float, default=60.0)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--chunk-frames", type=int, default=8192,
                     help="macro-chunk width for the single-device driver")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="raw repeats recorded; best-of used for the "
-                         "headline (tunnel variance)")
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="raw repeats recorded; MEDIAN is the headline "
+                         "(tunnel variance; best-of would flatter)")
     ap.add_argument("--num-iterations", type=int, default=100)
     ap.add_argument("--dictionary-size", type=int, default=128)
     ap.add_argument("--wav", default="/tmp/streamed_bench_mix.wav")
     ap.add_argument("--out-prefix", default="/tmp/streamed_bench_out")
     ap.add_argument("--save", default=None,
-                    help="write the result JSON here (e.g. docs/streamed_30min.json)")
+                    help="write the result JSON here (e.g. docs/streamed_60min.json)")
     args = ap.parse_args()
 
-    if not os.path.exists(args.wav):
+    expected_bytes = int(args.minutes * 60 * 16000) * 4 + 44
+    if (not os.path.exists(args.wav)
+            or abs(os.path.getsize(args.wav) - expected_bytes) > 4096):
         print(f"# synthesizing {args.minutes:.0f} min WAV ...", file=sys.stderr)
         synthesize_wav(args.wav, args.minutes)
     file_mb = os.path.getsize(args.wav) / 1e6
 
     import jax
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".cache", "jaxcache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from gccnmf_tpu.models.offline import OfflineConfig
     from gccnmf_tpu.parallel.long_audio import LongAudioSeparator
     from gccnmf_tpu.parallel import mesh as mesh_lib
 
+    base = _read_status_kib()
     rss_before_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     mesh = mesh_lib.make_mesh(
         data=min(args.shards, jax.device_count()), model=1
@@ -96,15 +171,19 @@ def main():
         dictionary_size=args.dictionary_size,
     )
     sep = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
-    # raw repeats recorded, best used for the headline: the axon tunnel's
-    # bulk throughput swings by integer factors between identical runs
-    # (docs/DESIGN.md "Harness caveats") and this path is transfer-bound
     repeats = []
-    for _ in range(max(1, args.repeats)):
-        t0 = time.perf_counter()
-        result = sep.separate_streamed(args.wav, output_prefix=args.out_prefix)
-        repeats.append(round(time.perf_counter() - t0, 1))
-    elapsed = min(repeats)
+    anon_after_repeat = []
+    with MemSampler() as sampler:
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            result = sep.separate_streamed(
+                args.wav, output_prefix=args.out_prefix
+            )
+            repeats.append(round(time.perf_counter() - t0, 1))
+            anon_after_repeat.append(
+                round(_read_status_kib().get("RssAnon", 0) / 1024, 1)
+            )
+    elapsed = float(np.median(repeats))
     rss_after_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
     audio_s = args.minutes * 60
@@ -114,10 +193,34 @@ def main():
         shards=mesh.shape["data"],
         chunk_frames=args.chunk_frames,
         elapsed_s=elapsed,
+        elapsed_statistic="median",
         elapsed_repeats_s=repeats,
         audio_s_per_s=round(audio_s / elapsed, 1),
-        peak_rss_mib=round(rss_after_kib / 1024, 1),
+        audio_s_per_s_best=round(audio_s / min(repeats), 1),
+        # memory accounting: anon = heap/transfer buffers (the O(chunk)
+        # claim); file = mmap'd input riding the reclaimable page cache
+        peak_rss_mib=round(max(rss_after_kib, sampler.peaks["VmRSS"]) / 1024, 1),
         rss_growth_mib=round((rss_after_kib - rss_before_kib) / 1024, 1),
+        peak_anon_mib=round(sampler.peaks["RssAnon"] / 1024, 1),
+        anon_growth_mib=round(
+            (sampler.peaks["RssAnon"] - base.get("RssAnon", 0)) / 1024, 1
+        ),
+        # per-repeat anon ratchet: the axon tunnel CLIENT retains every
+        # upload buffer (~1:1 with bytes uploaded — probe: 50 identical
+        # 8 MB uploads grow RssAnon 389 MiB; downloads do not leak), so
+        # anon grows by ~the repeat's upload volume (raw audio PCM + the
+        # MT19937-seeded H0 blocks) per run. The framework's own working
+        # set is the first-repeat growth minus that upload volume; the
+        # ratchet is a harness property, not pipeline state.
+        anon_after_each_repeat_mib=anon_after_repeat,
+        upload_volume_per_repeat_mb=round(
+            # raw int16 audio (both channels) + f32 H0 (2T x K) + W0
+            (os.path.getsize(args.wav)
+             + 8 * int(args.minutes * 60 * 16000 / 128) * args.dictionary_size
+             ) / 1e6, 1
+        ),
+        peak_file_backed_mib=round(sampler.peaks["RssFile"] / 1024, 1),
+        baseline_anon_mib=round(base.get("RssAnon", 0) / 1024, 1),
         samples_written=int(result.get("samples_written", 0)),
         outputs=[str(p) for p in result.get("paths", [])],
         backend=jax.default_backend(),
@@ -127,6 +230,7 @@ def main():
     if args.save:
         with open(args.save, "w") as fh:
             json.dump(out, fh, indent=1)
+            fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Axon-tunnel client memory probes (harness characterization).
+
+The 60-minute streamed bench measured multi-GiB anonymous-memory growth
+that docs/DESIGN.md had previously attributed to the mmap'd input's page
+cache. These probes pin down the actual mechanism so the artifact's
+memory accounting attributes bytes to the right owner:
+
+1. **Eager vs jit zeros** — does creating a ~1.9 GB device array with
+   eager ``jnp.zeros`` stage a host buffer? (Measured: no — ~10 MiB.)
+2. **Upload retention** — repeated host→device uploads of the SAME
+   buffer. Measured: RssAnon grows ~1:1 with bytes uploaded (50 × 8 MB
+   → ~390 MiB): the tunnel client retains upload buffers for the life
+   of the process. This is a property of the harness's transport, not
+   of the framework — a directly-attached PJRT client frees staging
+   buffers after the copy completes.
+3. **Download cleanliness** — repeated device→host fetches. Measured:
+   no commensurate growth (~23 MiB over 600 MB fetched).
+
+Consequence for the streamed-bench artifacts: anon growth per run ≈ the
+run's upload volume (raw audio PCM + seeded H0 blocks), ratcheting per
+repeat; the pipeline's own working set is O(chunk) as designed.
+
+Run on the real chip:  python benchmarks/tunnel_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def anon_mib() -> float:
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("RssAnon:"):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    out = {"device": str(jax.devices()[0]), "backend": jax.default_backend()}
+
+    # 1) eager vs jit zeros (1.85 GB f32)
+    a0 = anon_mib()
+    x = jnp.zeros((2, 450_000, 513), jnp.float32)
+    x.block_until_ready()
+    out["eager_zeros_1p85gb_anon_growth_mib"] = round(anon_mib() - a0, 1)
+    del x
+    zeros = jax.jit(jnp.zeros, static_argnames=("shape", "dtype"))
+    a1 = anon_mib()
+    y = zeros(shape=(2, 450_000, 513), dtype=jnp.float32)
+    y.block_until_ready()
+    out["jit_zeros_1p85gb_anon_growth_mib"] = round(anon_mib() - a1, 1)
+    del y
+
+    # 2) upload retention: 50 identical 8 MB int16 uploads
+    up = jax.jit(lambda v: v.astype(jnp.float32).sum())
+    buf = np.zeros((2, 2_000_000), np.int16)
+    float(up(buf))
+    a2 = anon_mib()
+    n_up = 50
+    for _ in range(n_up):
+        float(up(buf))
+    growth = anon_mib() - a2
+    out["uploads_n"] = n_up
+    out["upload_mb_each"] = round(buf.nbytes / 1e6, 1)
+    out["uploads_anon_growth_mib"] = round(growth, 1)
+    out["upload_retention_ratio"] = round(
+        growth * 1024 * 1024 / (n_up * buf.nbytes), 2
+    )
+
+    # 3) download cleanliness: 50 × 12 MB int16 fetches
+    down = jax.jit(
+        lambda n: (jnp.arange(6_000_000, dtype=jnp.int32) % 32768).astype(
+            jnp.int16
+        )
+        + n
+    )
+    np.asarray(down(1))
+    a3 = anon_mib()
+    n_down = 50
+    for i in range(n_down):
+        _ = np.asarray(down(i % 7))
+    out["downloads_n"] = n_down
+    out["download_mb_each"] = 12.0
+    out["downloads_anon_growth_mib"] = round(anon_mib() - a3, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

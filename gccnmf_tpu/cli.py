@@ -58,6 +58,13 @@ def separate_main(argv=None):
                          "ground-truth separation quality, but a different "
                          "update trajectory than the reference (not the "
                          "parity path)")
+    ap.add_argument("--device-init", action="store_true",
+                    help="with --streamed: draw the NMF H0 on device "
+                         "(JAX PRNG) instead of uploading the reference's "
+                         "host-seeded init (~0.5 GB/audio-hour through the "
+                         "ingest link); deterministic but a different "
+                         "trajectory than the reference (not the parity "
+                         "path)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -96,7 +103,8 @@ def separate_main(argv=None):
                 devices=jax.devices()[: args.time_shards],
             )
             return LongAudioSeparator(
-                cfg, mesh, chunk_frames=args.chunk_frames
+                cfg, mesh, chunk_frames=args.chunk_frames,
+                nmf_init="device" if args.device_init else "reference",
             )
         return GCCNMFSeparator(cfg)
 

@@ -56,6 +56,7 @@ class LongAudioSeparator:
         config: OfflineConfig = OfflineConfig(),
         mesh=None,
         chunk_frames: int = 8192,
+        nmf_init: str = "reference",
     ):
         self.config = config
         self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()
@@ -65,6 +66,16 @@ class LongAudioSeparator:
         #: macro-chunk width (STFT frames) for the single-device streamed
         #: driver — bounds host RAM, HBM transients, and program size
         self.chunk_frames = int(chunk_frames)
+        #: "reference": MT19937 seed(0) init, bit-matching the oracle —
+        #: at hour scale that means uploading a ~0.5 GB/hour host-drawn
+        #: H0 through the ingest link. "device": W0 stays host-seeded
+        #: (tiny, preserves localization determinism) but H0 is drawn on
+        #: device with JAX's PRNG — zero H0 upload; same algorithm,
+        #: different (still deterministic) trajectory, so never the
+        #: parity path.
+        if nmf_init not in ("reference", "device"):
+            raise ValueError(f"unknown nmf_init {nmf_init!r}")
+        self.nmf_init = nmf_init
         self._stft_method = config.resolved_stft_method()
         self._window = win_ops.hann_symmetric(config.window_size)
         self._cos_sin = gcc.steering_cos_sin(
@@ -396,6 +407,18 @@ class LongAudioSeparator:
             np.random.random((cfg.num_freq, k)).astype(np.float32)
             + cfg.epsilon
         )
+        if self.nmf_init == "device":
+            # zero-upload H0: uniform (0,1)+eps drawn on device. Jitted so
+            # no host buffer is materialized (and none retained by the
+            # tunnel client — benchmarks/tunnel_probe.py measured uploads
+            # retained ~1:1 by this harness's transport).
+            h0 = jax.jit(
+                lambda: jax.random.uniform(
+                    jax.random.PRNGKey(0), (t2, k), jnp.float32
+                )
+                + cfg.epsilon
+            )()
+            return w0, h0
         buf = jnp.zeros((k, t2), jnp.float32)
         upd = jax.jit(
             lambda b, blk, k0: jax.lax.dynamic_update_slice(b, blk, (k0, 0)),

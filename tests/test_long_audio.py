@@ -270,6 +270,44 @@ class TestChunkedStreamed:
             x, _ = wavio.read_wav(p)
             assert np.isfinite(x).all() and np.abs(x).max() > 0
 
+    def test_device_init_skips_upload_and_still_separates(
+        self, cfg, mesh1, tmp_path
+    ):
+        """nmf_init='device' draws H0 on device (zero H0 upload — ~0.5 GB
+        per audio hour through the ingest link otherwise): same
+        localization as the reference-init run on this fixture, finite
+        nonzero outputs, but a deliberately different NMF trajectory
+        (never the parity path)."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(160)
+        path = str(tmp_path / "devinit.wav")
+        wavio.write_wav(stereo, path, 16000)
+
+        ref = LongAudioSeparator(
+            cfg, mesh1, chunk_frames=64
+        ).separate_streamed(
+            path, output_prefix=str(tmp_path / "ri"), num_sources=2
+        )
+        out = LongAudioSeparator(
+            cfg, mesh1, chunk_frames=64, nmf_init="device"
+        ).separate_streamed(
+            path, output_prefix=str(tmp_path / "di"), num_sources=2
+        )
+        # localization is driven by GCC-PHAT, not the NMF init
+        assert list(out["target_tdoa_indexes"]) == list(
+            ref["target_tdoa_indexes"]
+        )
+        for p_ref, p_dev in zip(ref["paths"], out["paths"]):
+            a, _ = wavio.read_wav(p_ref)
+            b, _ = wavio.read_wav(p_dev)
+            assert np.isfinite(b).all() and np.abs(b).max() > 0
+            assert not np.array_equal(a, b)  # different trajectory
+
+    def test_device_init_rejects_unknown_mode(self, cfg, mesh1):
+        with pytest.raises(ValueError, match="nmf_init"):
+            LongAudioSeparator(cfg, mesh1, nmf_init="magic")
+
     def test_seeded_init_chunked_draw_is_exact(self, cfg, mesh1):
         """The atom-block H0 draw reproduces nmf_init_numpy's MT19937
         stream bit-for-bit."""
