@@ -197,20 +197,45 @@ class LongAudioSeparator:
         spec, coh, v, ang_sum = self._analyze_shards(chunks_sh)
         v2 = v.reshape(2 * t, cfg.num_freq)  # (S·2T_s, F) still time-sharded
 
-        # seeded init in the reference's left‖right row order, permuted into
-        # the shard-interleaved order so every H row rides with its V row
-        w0, h0_ref = nmf.nmf_init_numpy(
-            cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon
-        )
-        perm = np.empty(2 * t, np.int64)
-        for i in range(s):
-            rows = slice(i * 2 * t_s, (i + 1) * 2 * t_s)
-            left = np.arange(i * t_s, (i + 1) * t_s)
-            perm[rows] = np.concatenate([left, t + left])
-        h0 = h0_ref[perm]
+        if self.nmf_init == "device":
+            # zero-upload H0 (see _h0_device_chunked): drawn sharded
+            # directly in the interleaved row order — any deterministic
+            # order is equivalent since this is never the parity path
+            np.random.seed(0)
+            w0 = (
+                np.random.random((cfg.num_freq, cfg.dictionary_size)).astype(
+                    np.float32
+                )
+                + cfg.epsilon
+            )
+            h0_sharding = NamedSharding(self.mesh, P("data", None))
+            h0_sh = jax.jit(
+                lambda: jax.random.uniform(
+                    jax.random.PRNGKey(0),
+                    (2 * t, cfg.dictionary_size),
+                    jnp.float32,
+                )
+                + cfg.epsilon,
+                out_shardings=h0_sharding,
+            )()
+        else:
+            # seeded init in the reference's left‖right row order, permuted
+            # into the shard-interleaved order so every H row rides with
+            # its V row
+            w0, h0_ref = nmf.nmf_init_numpy(
+                cfg.num_freq, cfg.dictionary_size, 2 * t, cfg.epsilon
+            )
+            perm = np.empty(2 * t, np.int64)
+            for i in range(s):
+                rows = slice(i * 2 * t_s, (i + 1) * 2 * t_s)
+                left = np.arange(i * t_s, (i + 1) * t_s)
+                perm[rows] = np.concatenate([left, t + left])
+            h0 = h0_ref[perm]
+            h0_sh = jax.device_put(
+                h0, NamedSharding(self.mesh, P("data", None))
+            )
 
         w0_sh = jax.device_put(w0, NamedSharding(self.mesh, P(None, "model")))
-        h0_sh = jax.device_put(h0, NamedSharding(self.mesh, P("data", None)))
         w, h = kl_nmf_sharded(
             v2, w0_sh, h0_sh, cfg.num_iterations, self.mesh,
             cfg.sparsity_alpha, cfg.epsilon,

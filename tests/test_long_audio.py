@@ -308,6 +308,19 @@ class TestChunkedStreamed:
         with pytest.raises(ValueError, match="nmf_init"):
             LongAudioSeparator(cfg, mesh1, nmf_init="magic")
 
+    def test_device_init_on_sharded_mesh(self, cfg):
+        """nmf_init='device' also covers the multi-shard (mesh) path —
+        the H0 is drawn sharded on device instead of permuted on host."""
+        stereo = _two_source_mix(192)
+        ref = LongAudioSeparator(cfg).separate(stereo)
+        out = LongAudioSeparator(cfg, nmf_init="device").separate(stereo)
+        assert list(out["target_tdoa_indexes"]) == list(
+            ref["target_tdoa_indexes"]
+        )
+        est = np.asarray(out["estimates"])
+        assert np.isfinite(est).all() and np.abs(est).max() > 0
+        assert not np.array_equal(est, np.asarray(ref["estimates"]))
+
     def test_seeded_init_chunked_draw_is_exact(self, cfg, mesh1):
         """The atom-block H0 draw reproduces nmf_init_numpy's MT19937
         stream bit-for-bit."""
