@@ -182,13 +182,21 @@ class LiveRingSource:
         """Yield (num_channels, block_size) blocks; waits for the producer."""
         n = self._samples_per_block
         while True:
-            if self._ring.readable() < n:
-                if self.closed:
-                    return
-                time.sleep(0.001)
+            if self._ring.readable() >= n:
+                flat = self._ring.read(n)
+                yield flat.reshape(self.num_channels, self.block_size)
                 continue
-            flat = self._ring.read(n)
-            yield flat.reshape(self.num_channels, self.block_size)
+            if self.closed:
+                # The producer can push its final blocks AND close between
+                # our readable() sample and this flag read (ctypes releases
+                # the GIL during the foreign call) — re-check before
+                # stopping or the stream's tail is dropped. After closed
+                # is observed no new writes can arrive, so a second
+                # below-threshold reading is final.
+                if self._ring.readable() < n:
+                    return
+                continue
+            time.sleep(0.001)
 
 
 class WavSink:

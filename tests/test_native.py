@@ -264,6 +264,27 @@ def test_live_ring_source_threaded():
     assert src.overruns >= 0
 
 
+def test_live_ring_source_drains_tail_after_close():
+    """Blocks already in the ring when close() lands must still be
+    delivered. The consumer samples readable() BEFORE the closed flag
+    (the foreign call releases the GIL), so the producer can push its
+    final blocks and close in between — the old exit path dropped up to
+    a ring-capacity of tail audio (caught flaking as 44/50 blocks in
+    test_live_ring_source_threaded)."""
+    from gccnmf_tpu.realtime.audio import LiveRingSource
+
+    src = LiveRingSource(num_channels=2, block_size=64, capacity_blocks=8)
+    rng = np.random.default_rng(7)
+    blocks = rng.standard_normal((5, 2, 64)).astype(np.float32) * 0.1
+    for b in blocks:
+        assert src.push_planar(b)
+    src.close()  # close BEFORE any consumption: pure drain
+    got = list(src.blocks())
+    assert len(got) == len(blocks)
+    for want, have in zip(blocks, got):
+        np.testing.assert_allclose(have, want, atol=0)
+
+
 def test_app_block_time_stats():
     from gccnmf_tpu.realtime.app import RealtimeGCCNMF
 
