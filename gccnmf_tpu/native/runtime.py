@@ -58,7 +58,7 @@ def _load():
             try:
                 lib = ctypes.CDLL(path)
                 _declare(lib)
-                if lib.gccnmf_rt_abi_version() != 1:
+                if lib.gccnmf_rt_abi_version() != 2:
                     raise OSError("gccnmf_rt ABI version mismatch")
                 _lib = lib
             except OSError as e:
@@ -99,6 +99,7 @@ def _declare(lib) -> None:
         "gccnmf_times_destroy": (None, [ptr]),
         "gccnmf_times_record": (None, [ptr, ctypes.c_double]),
         "gccnmf_times_stats": (None, [ptr, _f64p]),
+        "gccnmf_times_snapshot": (i64, [ptr, _f64p, i64]),
         "gccnmf_rt_abi_version": (i32, []),
     }
     for name, (res, args) in sig.items():
@@ -376,3 +377,24 @@ class BlockTimes:
             return 0.0, 0.0, 0.0, 0
         v = self._values[:held]
         return float(v.min()), float(v.max()), float(v.mean()), held
+
+    def snapshot(self) -> np.ndarray:
+        """Copy of the held window (unordered; tearing-tolerated) — the
+        raw samples behind stats(), for host-side percentile math."""
+        if self._lib is not None:
+            out = np.empty(self.capacity, np.float64)
+            n = int(
+                self._lib.gccnmf_times_snapshot(
+                    self._h, out.ctypes.data_as(_f64p), self.capacity
+                )
+            )
+            return out[:n].copy()
+        held = min(self._count, self.capacity)
+        return self._values[:held].copy()
+
+    def percentiles(self, qs=(50.0, 99.0)) -> tuple[float, ...]:
+        """Window percentiles in the recorded unit; zeros when empty."""
+        window = self.snapshot()
+        if window.size == 0:
+            return tuple(0.0 for _ in qs)
+        return tuple(float(np.percentile(window, q)) for q in qs)

@@ -336,4 +336,16 @@ GCCNMF_EXPORT void gccnmf_times_stats(const GccnmfTimes* t, double* out) {
     out[3] = static_cast<double>(held);
 }
 
-GCCNMF_EXPORT int32_t gccnmf_rt_abi_version() { return 1; }
+// Copies the held window (unordered) into out[0..max_n); returns how many
+// values were written. Percentile math stays host-side — the window is
+// small and the copy is tearing-tolerant like gccnmf_times_stats.
+GCCNMF_EXPORT int64_t gccnmf_times_snapshot(const GccnmfTimes* t, double* out,
+                                            int64_t max_n) {
+    int64_t c = t->count.load(std::memory_order_acquire);
+    int64_t held = c < t->capacity ? c : t->capacity;
+    if (held > max_n) held = max_n;
+    for (int64_t i = 0; i < held; ++i) out[i] = t->values[i];
+    return held;
+}
+
+GCCNMF_EXPORT int32_t gccnmf_rt_abi_version() { return 2; }

@@ -280,8 +280,11 @@ class StreamServer:
     def tick_stats(self) -> dict:
         """Serving-clock health: cumulative tick/deadline-miss counters plus
         wall-time stats over the recent (bounded) window — the multi-tenant
-        analogue of ``RealtimeGCCNMF.run``'s per-block stats."""
+        analogue of ``RealtimeGCCNMF.run``'s per-block stats. p50/p99 are
+        the capacity metric (docs/scaling/serving_capacity.json's axis):
+        the tenancy is serving safely while p99 stays under deadline_ms."""
         mn, mx, mean, n = self._tick_times.stats()
+        p50, p99 = self._tick_times.percentiles((50.0, 99.0))
         return dict(
             ticks=self.ticks,
             deadline_ms=round(self.deadline_s * 1e3, 3),
@@ -289,6 +292,8 @@ class StreamServer:
             tick_ms=dict(
                 min=round(mn * 1e3, 3),
                 mean=round(mean * 1e3, 3),
+                p50=round(p50 * 1e3, 3),
+                p99=round(p99 * 1e3, 3),
                 max=round(mx * 1e3, 3),
                 window=n,
             ),

@@ -199,6 +199,26 @@ def test_block_times_stats():
     assert n == 8 and mn == pytest.approx(0.1) and mx == pytest.approx(0.1)
 
 
+def test_block_times_snapshot_and_percentiles():
+    """snapshot() exposes the raw held window behind stats() so consumers
+    (serving tick_stats) can compute the p50/p99 capacity metric."""
+    bt = rt.BlockTimes(capacity=8)
+    assert bt.snapshot().size == 0
+    assert bt.percentiles((50.0, 99.0)) == (0.0, 0.0)
+    vals = [0.01, 0.05, 0.02, 0.04, 0.03]
+    for v in vals:
+        bt.record(v)
+    window = bt.snapshot()
+    assert sorted(window.tolist()) == sorted(vals)
+    p50, p99 = bt.percentiles((50.0, 99.0))
+    assert p50 == pytest.approx(np.percentile(vals, 50))
+    assert p99 == pytest.approx(np.percentile(vals, 99))
+    for v in [0.1] * 10:  # overflow: only the bounded window survives
+        bt.record(v)
+    assert bt.snapshot().size == 8
+    assert bt.percentiles((50.0,))[0] == pytest.approx(0.1)
+
+
 def test_numpy_fallback_matches_native(monkeypatch):
     """Force the fallback path and check it agrees with the native one."""
     rng = np.random.default_rng(3)

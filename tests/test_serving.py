@@ -306,6 +306,14 @@ def test_tick_stats_and_deadline_accounting(w, cfg):
     assert 0 <= st["deadline_misses"] <= 4
     assert st["tick_ms"]["window"] == 4
     assert st["tick_ms"]["max"] >= st["tick_ms"]["min"] > 0
+    # p50/p99 over the same window — the capacity metric
+    # (docs/scaling/serving_capacity.json's axis) surfaced live
+    assert (
+        st["tick_ms"]["min"]
+        <= st["tick_ms"]["p50"]
+        <= st["tick_ms"]["p99"]
+        <= st["tick_ms"]["max"]
+    )
     # an impossible deadline must register as a miss (counter wiring)
     srv.deadline_s = 0.0
     srv.process({sid: blocks[0]})
