@@ -60,6 +60,57 @@ def _snr(ref, est):
 
 
 @pytest.mark.skipif(not _WAVS, reason="reference dev WAVs not available")
+class TestAutoSourceCountOnBundledWavs:
+    """Real-data behavior of the working 2-means auto source counter (the
+    reference's equivalent path crashes on missing imports,
+    gccNMFFunctions.py:104-106). Pinned from the bundled WAVs: reliable on
+    the well-separated demo mixture; on the adjacent-TDOA four-speaker
+    files peak-height clustering collapses toward the dominant peak(s) —
+    a documented property, which is why closely-spaced scenes should pass
+    an explicit --num-sources."""
+
+    @staticmethod
+    def _mean_angular(path):
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo, sr = wavio.read_wav(path)
+        x = oracle.mixture_spectrogram_ref(stereo, 1024, 128)
+        coh = oracle.coherence_ref(x)
+        freqs = np.linspace(0, sr / 2.0, 513)
+        return oracle.angular_spectrogram_ref(coh, freqs, 1.0, 128).mean(-1)
+
+    def test_auto_count_finds_all_three_on_demo_mixture(self):
+        ang = self._mean_angular(
+            os.path.join(_DATA, "dev1_female3_liverec_130ms_1m_mix.wav")
+        )
+        from gccnmf_tpu.ops import localize
+
+        auto = localize.estimate_target_tdoa_indexes(ang, None)
+        top3 = localize.estimate_target_tdoa_indexes(ang, 3)
+        assert auto == top3 == [47, 72, 107]
+
+    @pytest.mark.parametrize(
+        "path", _WAVS, ids=[os.path.basename(p) for p in _WAVS]
+    )
+    def test_auto_count_subset_semantics(self, path):
+        """On every bundled WAV: auto picks a nonempty set of true local
+        maxima whose members all rank above (or equal) every non-chosen
+        peak — the defining property of keeping the high cluster."""
+        from gccnmf_tpu.ops import localize
+
+        ang = self._mean_angular(path)
+        auto = localize.estimate_target_tdoa_indexes(ang, None)
+        assert 1 <= len(auto) <= 8
+        interior = np.zeros(len(ang), bool)
+        interior[1:-1] = (ang[1:-1] > ang[:-2]) & (ang[1:-1] > ang[2:])
+        peaks = set(np.nonzero(interior)[0].tolist())
+        assert set(auto) <= peaks
+        lowest_chosen = min(ang[i] for i in auto)
+        others = peaks - set(auto)
+        assert all(ang[i] <= lowest_chosen for i in others)
+
+
+@pytest.mark.skipif(not _WAVS, reason="reference dev WAVs not available")
 class TestSixWavParity:
     def test_six_wavs_present(self):
         """The reference bundles exactly six dev mixtures."""
