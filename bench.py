@@ -819,6 +819,7 @@ def main():
                 k: cap[k]
                 for k in (
                     "max_streams_meeting_deadline_at_p99",
+                    "max_streams_at_p99_by_depth",
                     "max_streams_by_device_compute",
                     "deadline_ms",
                     "pipeline_depth",

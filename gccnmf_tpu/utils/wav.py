@@ -74,9 +74,26 @@ def float_to_pcm(sig: np.ndarray, dtype="int16") -> np.ndarray:
     return (sig * half_range + offset).clip(info.min, info.max).astype(dtype)
 
 
+def _diagnose_read_error(path: str, err: Exception) -> Exception:
+    """Map scipy's internal failures to an actionable message.
+
+    A truncated payload surfaces as a reshape error deep inside scipy
+    ("cannot reshape array of size N into shape (C)") — name the actual
+    problem and the file instead."""
+    if "reshape" in str(err):
+        return ValueError(
+            f"truncated or corrupt WAV (payload is not a whole number of "
+            f"frames): {path}"
+        )
+    return type(err)(f"{err} (while reading {path})")
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file -> ``((channels, n) float32, sample_rate)``."""
-    sample_rate, pcm = _sp_wavfile.read(path)
+    try:
+        sample_rate, pcm = _sp_wavfile.read(path)
+    except ValueError as e:
+        raise _diagnose_read_error(path, e) from e
     return _to_float32(pcm).T, sample_rate
 
 
@@ -93,7 +110,9 @@ class WavReader:
         self.path = path
         try:
             self.sample_rate, pcm = _sp_wavfile.read(path, mmap=True)
-        except ValueError:
+        except ValueError as e:
+            if "reshape" in str(e):
+                raise _diagnose_read_error(path, e) from e
             # scipy cannot mmap non-power-of-two sample widths (24-bit
             # PCM); fall back to an in-memory read — range reads still
             # convert lazily, only the RAM bound degrades to O(file)
@@ -101,7 +120,10 @@ class WavReader:
                 "WavReader: %s cannot be memory-mapped, reading into RAM",
                 path,
             )
-            self.sample_rate, pcm = _sp_wavfile.read(path)
+            try:
+                self.sample_rate, pcm = _sp_wavfile.read(path)
+            except ValueError as e2:
+                raise _diagnose_read_error(path, e2) from e2
         self._pcm = pcm
         self.num_samples = int(pcm.shape[0])
         self.num_channels = 1 if pcm.ndim == 1 else int(pcm.shape[1])

@@ -132,3 +132,9 @@ class TestCapacitySweep:
             row["p99_ms"] < row["deadline_ms"]
         )
         assert row["aggregate_realtime_factor"] > 0
+
+    def test_pipeline_depth_parameter_is_recorded(self, capacity):
+        row = capacity.sweep_one(1, ticks=4, warmup=1, pipeline_depth=0)
+        assert row["pipeline_depth"] == 0
+        row = capacity.sweep_one(1, ticks=4, warmup=1, pipeline_depth=4)
+        assert row["pipeline_depth"] == 4

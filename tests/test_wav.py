@@ -136,6 +136,40 @@ def test_streaming_wav_writer_rejects_channel_mismatch(tmp_path):
     w.close()
 
 
+def test_truncated_wav_raises_actionable_error(tmp_path):
+    """A payload cut mid-frame used to surface as scipy's bare reshape
+    error; both readers must name the actual problem and the file."""
+    import wave
+
+    from gccnmf_tpu.utils import wav as wavio
+
+    path = str(tmp_path / "trunc.wav")
+    with wave.open(path, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.zeros((1000, 2), np.int16).tobytes())
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[: len(raw) // 2 + 1])  # cut mid-frame
+    with pytest.raises(ValueError, match="truncated or corrupt WAV"):
+        wavio.read_wav(path)
+    with pytest.raises(ValueError, match="truncated or corrupt WAV"):
+        wavio.WavReader(path)
+
+
+def test_garbage_and_empty_wav_raise_cleanly(tmp_path):
+    from gccnmf_tpu.utils import wav as wavio
+
+    garbage = tmp_path / "garbage.wav"
+    garbage.write_bytes(b"not a wav file at all")
+    with pytest.raises(ValueError):
+        wavio.read_wav(str(garbage))
+    empty = tmp_path / "empty.wav"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError):
+        wavio.read_wav(str(empty))
+
+
 def test_wav_reader_24bit_fallback(tmp_path):
     """24-bit PCM cannot be memory-mapped by scipy; WavReader must fall
     back to an in-memory read with identical samples."""
