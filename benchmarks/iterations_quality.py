@@ -91,14 +91,9 @@ def _throughput(stereo, sr, num_iterations: int, repeats: int = 3) -> float:
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.ops import nmf, stft as stft_ops
 
-    # bench.py's _timed_loop/_fence discipline, reused via import
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_mod", os.path.join(_REPO, "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    # bench.py's _timed_loop/_fence discipline, reused via a cached
+    # import (repo root is on sys.path)
+    import bench
 
     cfg = OfflineConfig(sample_rate=sr, num_iterations=num_iterations)
     sep = GCCNMFSeparator(cfg)
@@ -157,6 +152,11 @@ def main():
         throughput[str(n_it)] = round(thr, 1)
         print(f"# throughput @{n_it} it: {thr:.0f} audio-s/s", file=sys.stderr)
 
+    # the speedup baseline is the highest measured count; name the key by
+    # what was actually measured so a custom --iters list without 100
+    # cannot produce a "speedup_vs_100" that never saw 100 iterations
+    base_iters = max(args.iters)
+
     def _mins(n_it):
         loc = all(wavs[n][str(n_it)]["localization_match"] for n in wavs)
         rows = [wavs[n][str(n_it)] for n in wavs]
@@ -167,9 +167,11 @@ def main():
             min_bss_sdr_db=min(sdrs) if sdrs else None,
             min_pesq=min(pesqs) if pesqs else None,
             throughput_audio_s_per_s=throughput[str(n_it)],
-            speedup_vs_100=round(
-                throughput[str(n_it)] / throughput[str(max(args.iters))], 2
-            ),
+            **{
+                f"speedup_vs_{base_iters}": round(
+                    throughput[str(n_it)] / throughput[str(base_iters)], 2
+                )
+            },
         )
 
     result = dict(

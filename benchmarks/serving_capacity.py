@@ -76,13 +76,8 @@ def device_tick_ms(n_streams: int) -> float:
     nb = blocks.shape[0]
     state = proc.init_state(n_streams)
 
-    import importlib.util
+    import bench  # repo root is on sys.path; cached across calls
 
-    spec = importlib.util.spec_from_file_location(
-        "bench_mod", os.path.join(_REPO, "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
     scan_s = bench._timed_loop(
         lambda: proc.scan_blocks(state, blocks, params), 3
     )

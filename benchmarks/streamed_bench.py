@@ -136,12 +136,25 @@ def main():
                     help="write the result JSON here (e.g. docs/streamed_60min.json)")
     args = ap.parse_args()
 
-    expected_bytes = int(args.minutes * 60 * 16000) * 4 + 44
-    if (not os.path.exists(args.wav)
-            or abs(os.path.getsize(args.wav) - expected_bytes) > 4096):
+    # Synthesize ONLY when the file is missing — never overwrite an
+    # existing path (it may be the user's real recording). A stale
+    # synthetic file of the wrong length is the user's to delete; the
+    # reported duration below comes from the actual file either way.
+    if not os.path.exists(args.wav):
         print(f"# synthesizing {args.minutes:.0f} min WAV ...", file=sys.stderr)
         synthesize_wav(args.wav, args.minutes)
     file_mb = os.path.getsize(args.wav) / 1e6
+    import wave as _wave
+
+    with _wave.open(args.wav, "rb") as wf:
+        actual_minutes = wf.getnframes() / wf.getframerate() / 60.0
+    if abs(actual_minutes - args.minutes) > 0.01:
+        print(
+            f"# note: {args.wav} is {actual_minutes:.1f} min, not "
+            f"{args.minutes:.1f}; reporting the actual duration",
+            file=sys.stderr,
+        )
+        args.minutes = actual_minutes
 
     import jax
 

@@ -71,6 +71,11 @@ def separate_main(argv=None):
         logging.basicConfig(level=logging.INFO)
     if args.streamed and not args.time_shards:
         args.time_shards = 1  # single-device sequential macro-chunk driver
+    if args.device_init and not args.time_shards:
+        # the flag only exists on the long-audio path; silently running
+        # the host-seeded init the user opted out of would be worse than
+        # an error
+        ap.error("--device-init requires --streamed or --time-shards")
 
     import os
 

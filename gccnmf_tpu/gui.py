@@ -570,10 +570,12 @@ class RealtimeGCCNMFWindow:
     def _refresh(self):
         if self._stop.is_set():
             return
+        # re-arm FIRST: an exception in a single repaint must not kill
+        # the 100 ms timer for the rest of the session
+        self.root.after(_REFRESH_MS, self._refresh)
         self.view.refresh()
         self._update_status()
         self.canvas.draw_idle()
-        self.root.after(_REFRESH_MS, self._refresh)
 
     def _update_status(self):
         """Render live-output health into the status line (reference
@@ -582,7 +584,13 @@ class RealtimeGCCNMFWindow:
         the reference never surfaced)."""
         if not self.blocks_processed:
             return
-        times = list(self._proc_times)
+        try:
+            times = list(self._proc_times)
+        except RuntimeError:
+            # the pump thread appended mid-iteration ("deque mutated
+            # during iteration") — skip this 100 ms tick, the next one
+            # will see a quiescent window
+            return
         text = (
             f"blocks {self.blocks_processed}"
             f" | proc {np.mean(times) * 1e3:.1f} ms"

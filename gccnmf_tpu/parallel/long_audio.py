@@ -691,17 +691,24 @@ class LongAudioSeparator:
                 drain_one()
         while inflight:
             drain_one()
-        # the trailing seam (pre-gain float) goes through the writer's
-        # own host-side conversion — identical formula; any leading trim
-        # not yet consumed (audio shorter than window/2) lands here
+        # final flush: the held-back PCM goes out via write_pcm (its clips
+        # were already counted on device — routing it through the float
+        # write() would re-count exact-full-scale samples), and only the
+        # trailing seam (pre-gain float, never device-counted) takes the
+        # writer's own host-side conversion. Any leading trim not yet
+        # consumed (audio shorter than window/2) lands here.
         tail = np.asarray(carry, np.float32)[..., lead:] * gain
         for n in range(n_targets):
-            buf = np.concatenate(
-                [wav.pcm_to_float(pending[n]).astype(np.float32), tail[n]],
-                axis=-1,
-            )
-            if buf.shape[-1] > half:
-                writers[n].write(buf[:, : buf.shape[-1] - half])
+            cut = pending[n].shape[-1] + tail[n].shape[-1] - half
+            if cut > 0:
+                take_pcm = min(cut, pending[n].shape[-1])
+                if take_pcm:
+                    writers[n].write_pcm(
+                        pending[n][:, :take_pcm], int(clip_owed[n])
+                    )
+                    clip_owed[n] = 0
+                if cut > take_pcm:
+                    writers[n].write(tail[n][:, : cut - take_pcm])
             if clip_owed[n]:  # tallies whose write was trimmed away
                 writers[n].write_pcm(
                     np.zeros((2, 0), np.int16), int(clip_owed[n])

@@ -283,8 +283,17 @@ class StreamServer:
         analogue of ``RealtimeGCCNMF.run``'s per-block stats. p50/p99 are
         the capacity metric (docs/scaling/serving_capacity.json's axis):
         the tenancy is serving safely while p99 stays under deadline_ms."""
-        mn, mx, mean, n = self._tick_times.stats()
-        p50, p99 = self._tick_times.percentiles((50.0, 99.0))
+        # ONE window snapshot for every statistic — separate stats() /
+        # percentiles() calls could straddle a concurrent tick and report
+        # internally inconsistent values (e.g. p99 > max)
+        window = self._tick_times.snapshot()
+        if window.size:
+            mn, mx, mean = float(window.min()), float(window.max()), float(
+                window.mean()
+            )
+            p50, p99 = (float(np.percentile(window, q)) for q in (50.0, 99.0))
+        else:
+            mn = mx = mean = p50 = p99 = 0.0
         return dict(
             ticks=self.ticks,
             deadline_ms=round(self.deadline_s * 1e3, 3),
@@ -295,7 +304,7 @@ class StreamServer:
                 p50=round(p50 * 1e3, 3),
                 p99=round(p99 * 1e3, 3),
                 max=round(mx * 1e3, 3),
-                window=n,
+                window=int(window.size),
             ),
         )
 

@@ -45,9 +45,22 @@ def _run_pair(path, parity_mode):
         sample_rate=sr, dictionary_size=_DICT, num_iterations=_ITERS
     )
     if parity_mode:
+        # the full parity configuration, matching the committed artifact
+        # (benchmarks/parity_six_wavs.py): f32 NMF trajectory AND
+        # Precision.HIGHEST GEMMs — nmf_matmul_dtype alone leaves the
+        # STFT/attribution GEMMs at default precision on TPU backends
         from dataclasses import replace
 
+        from gccnmf_tpu.ops import xprec
+
         cfg = replace(cfg, nmf_matmul_dtype="float32")
+        old_level = xprec.current_level()
+        xprec.set_matmul_precision("highest")
+        try:
+            got = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
+        finally:
+            xprec.set_matmul_precision(old_level)
+        return ref, got
     got = GCCNMFSeparator(cfg).separate(stereo, num_sources=3)
     return ref, got
 
