@@ -526,6 +526,12 @@ class RealtimeGCCNMFWindow:
         source = FilePlayerSource(
             self.app.audio_path, cfg.block_size, loop=self.loop, realtime=True
         )
+        if source.num_channels != cfg.num_channels:
+            logger.error(
+                "input has %d channel(s); engine needs %d — not playing",
+                source.num_channels, cfg.num_channels,
+            )
+            return
         stream = self.output_stream
         deadline = cfg.block_size / cfg.sample_rate
         for block in source.blocks():

@@ -19,7 +19,6 @@ scaling.
 
 from __future__ import annotations
 
-import functools
 import logging
 from dataclasses import dataclass, replace
 from os.path import basename
@@ -166,6 +165,25 @@ class GCCNMFSeparator:
             config.mic_separation_m,
             config.num_tdoas,
         )
+        # Per-INSTANCE jit wrappers: class-level jit(static_argnums=0)
+        # would key one global cache on instance identity and retain every
+        # separator ever built (see models/realtime.py for the full
+        # rationale); a wrapper owned by the instance dies with it.
+        self._analyze = jax.jit(self._analyze_jit_impl)
+        self._reconstruct = jax.jit(self._reconstruct_impl)
+        self._reconstruct_batched = jax.jit(self._reconstruct_batched_impl)
+        self._reconstruct_batched_winner = jax.jit(
+            self._reconstruct_batched_winner_impl
+        )
+        self._separate_batch_jit = jax.jit(
+            self._separate_batch_jit_impl, static_argnums=3
+        )
+        self._separate_batch_auto_jit = jax.jit(
+            self._separate_batch_auto_jit_impl, static_argnums=3
+        )
+        self._separate_batch_i16_jit = jax.jit(
+            self._separate_batch_i16_jit_impl, static_argnums=3
+        )
 
     # ---- jitted stages ----------------------------------------------------
 
@@ -228,8 +246,7 @@ class GCCNMFSeparator:
             jnp.real(coh), jnp.imag(coh), ang,
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _analyze(self, stereo: jax.Array, w0: jax.Array, h0: jax.Array):
+    def _analyze_jit_impl(self, stereo: jax.Array, w0: jax.Array, h0: jax.Array):
         """STFT + NMF + angular spectrogram. Returns (spec, W, H, coh, ang).
 
         Complex-assembly wrapper over :meth:`_analyze_planes` for
@@ -246,8 +263,7 @@ class GCCNMFSeparator:
             ang,
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _reconstruct(
+    def _reconstruct_impl(
         self,
         spec: jax.Array,
         coh: jax.Array,
@@ -272,8 +288,7 @@ class GCCNMFSeparator:
         )
         return est * stft_gain(cfg), coef_masks
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _reconstruct_batched(
+    def _reconstruct_batched_impl(
         self,
         spec: jax.Array,
         coh: jax.Array,
@@ -294,8 +309,7 @@ class GCCNMFSeparator:
             w, h, target_indexes,
         )[0]
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _reconstruct_batched_winner(
+    def _reconstruct_batched_winner_impl(
         self, sre, sim, cre, cim, w, h, target_indexes
     ):
         """Plane-input reconstruction tail (the fused front-end's native
@@ -433,12 +447,10 @@ class GCCNMFSeparator:
         )
         return est, targets, peaks
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _separate_batch_jit(self, stereo, w0, h0, num_sources):
+    def _separate_batch_jit_impl(self, stereo, w0, h0, num_sources):
         return self._separate_batch_core(stereo, w0, h0, num_sources)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _separate_batch_auto_jit(self, stereo, w0, h0, max_sources):
+    def _separate_batch_auto_jit_impl(self, stereo, w0, h0, max_sources):
         """Auto source counting on device: jitted 2-means on peak heights
         (ops/localize.auto_count_targets) replaces the fixed top-k picker;
         the reconstruction is identical. Returns (est, targets, counts)."""
@@ -450,8 +462,7 @@ class GCCNMFSeparator:
         )
         return est, targets, counts
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _separate_batch_i16_jit(self, stereo_i16, w0, h0, num_sources):
+    def _separate_batch_i16_jit_impl(self, stereo_i16, w0, h0, num_sources):
         """int16-in/int16-out variant for bandwidth-starved host links:
         PCM↔float conversion happens on device, halving host↔device bytes
         (the inputs/outputs are 16-bit WAV audio anyway, so the only delta
@@ -625,9 +636,9 @@ class GCCNMFEnhancer:
             config.mic_separation_m,
             config.num_tdoas,
         )
+        self._enhance_jit = jax.jit(self._enhance_jit_impl)  # per-instance
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _enhance_jit(self, stereo, target_eps, target_beta, noise_floor):
+    def _enhance_jit_impl(self, stereo, target_eps, target_beta, noise_floor):
         cfg = self.config
         if self._frontend_backend == "pallas":
             from gccnmf_tpu.ops.frontend_pallas import stft_gcc_frontend_pallas

@@ -24,7 +24,6 @@ causality test (tests/test_online.py).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -112,9 +111,9 @@ class OnlineGCCNMFEnhancer:
         self._cos_w, self._sin_w = masks.fold_steering_dictionary(
             *self._cos_sin, self.w
         )
+        self._enhance_jit = jax.jit(self._enhance_jit_impl)  # per-instance
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _enhance_jit(self, stereo: jax.Array):
+    def _enhance_jit_impl(self, stereo: jax.Array):
         cfg = self.config
         spec = stft_ops.stft(stereo, self._window, cfg.hop_size)  # (...,2,T,F)
         # guard_zeros: digital silence must not NaN-poison the causal

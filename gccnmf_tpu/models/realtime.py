@@ -31,7 +31,6 @@ reference's fixed 2-block emission (utils.py:116) is reproduced by
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -46,12 +45,6 @@ __all__ = [
     "StreamConfig", "StreamParams", "StreamState", "RTGCCNMFProcessor",
     "parse_target_mode",
 ]
-
-from gccnmf_tpu.ops import xprec as _xprec
-
-
-def _HIGHEST():  # trace-time MXU precision policy (ops/xprec.py)
-    return _xprec.get()
 
 TARGET_MODE_BOXCAR = 0
 TARGET_MODE_WINDOW_FUNCTION = 2
@@ -243,6 +236,14 @@ class RTGCCNMFProcessor:
             *self._cos_sin, self.w
         )
         self._w_colsum = jnp.sum(self.w, axis=-1)  # (F,)
+        # Per-INSTANCE jit wrappers (not static-self class decorators): a
+        # class-level `jit(static_argnums=0)` keys one global cache on
+        # instance identity, permanently retaining every processor a
+        # structural rebuild (GUI dictionary toggle, serving re-tenancy)
+        # ever created — compiled executables plus the folded steering
+        # constants. A wrapper owned by the instance dies with it.
+        self.step = jax.jit(self._step_impl)
+        self.scan_blocks = jax.jit(self._scan_impl, static_argnums=3)
 
     # ------------------------------------------------------------------ state
 
@@ -262,8 +263,7 @@ class RTGCCNMFProcessor:
 
     # ------------------------------------------------------------------- step
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, state: StreamState, block: jax.Array, params: StreamParams):
+    def _step_impl(self, state: StreamState, block: jax.Array, params: StreamParams):
         """Process one (B, C, block_size) input block."""
         cfg = self.config
         m = cfg.windows_per_block
@@ -381,8 +381,7 @@ class RTGCCNMFProcessor:
 
     # ------------------------------------------------------------- scan mode
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def scan_blocks(
+    def _scan_impl(
         self,
         state: StreamState,
         blocks: jax.Array,
@@ -392,7 +391,7 @@ class RTGCCNMFProcessor:
         """Process (num_blocks, B, C, block_size) in one device program."""
 
         def body(st, blk):
-            st, out, tel = self.step(st, blk, params)
+            st, out, tel = self._step_impl(st, blk, params)
             return st, (out, tel) if with_telemetry else out
 
         state, ys = jax.lax.scan(body, state, blocks)

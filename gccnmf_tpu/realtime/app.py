@@ -349,7 +349,25 @@ class RealtimeGCCNMF:
 
         with self._engine_lock:
             old_cfg = self.config
-            self.config = cfg = dc_replace(old_cfg, **changes)
+            cfg = dc_replace(old_cfg, **changes)
+            # validate BEFORE committing: a bad geometry must be rejected
+            # here at the caller (GUI handler, control surface), not
+            # surface as an opaque engine-rebuild exception on the audio
+            # thread at the next block (set_target_mode already follows
+            # this validate-then-commit pattern)
+            if cfg.block_size % cfg.hop_size:
+                raise ValueError(
+                    f"hop_size ({cfg.hop_size}) must divide block_size "
+                    f"({cfg.block_size})"
+                )
+            if cfg.hop_size > cfg.window_size:
+                raise ValueError(
+                    f"hop_size ({cfg.hop_size}) must not exceed "
+                    f"window_size ({cfg.window_size})"
+                )
+            if min(cfg.block_size, cfg.hop_size, cfg.window_size) < 1:
+                raise ValueError("block/hop/window sizes must be positive")
+            self.config = cfg
             # localization state is grid-relative: keep it only if the grid
             # (resolution AND physical span) is unchanged
             keep_localization = (
@@ -522,10 +540,24 @@ class RealtimeGCCNMF:
         if source.sample_rate != cfg.sample_rate:
             self.config = dc_replace(self.config, sample_rate=source.sample_rate)
             self._processor = None
+        src_channels = getattr(source, "num_channels", None)
+        if src_channels is not None and src_channels != cfg.num_channels:
+            # fail up front with the actual problem — a mono file would
+            # otherwise crash deep inside jit tracing with an opaque
+            # concatenate shape error after pretraining already ran
+            raise ValueError(
+                f"input has {src_channels} channel(s); this engine is "
+                f"configured for {cfg.num_channels} (GCC-PHAT needs a "
+                f"stereo microphone pair)"
+            )
         # StreamingSink keeps host RAM at O(block) for unbounded runs
         # (per-sample clipping instead of WavSink's whole-file rescale)
         sink_cls = StreamingSink if streamed_output else WavSink
-        sink = sink_cls(output_path, source.sample_rate) if output_path else None
+        sink = (
+            sink_cls(output_path, source.sample_rate, cfg.num_channels)
+            if output_path
+            else None
+        )
         opened_stream = False
         if output_stream is None and live_output:
             output_stream = open_output_stream(

@@ -64,6 +64,11 @@ class FilePlayerSource:
                 f"{path}: {self._num_samples} samples is shorter than "
                 f"one {block_size}-sample block"
             )
+        #: channel count of the underlying file — consumers (app.run, GUI
+        #: pump) validate this against their engine's num_channels up
+        #: front, instead of crashing deep inside jit tracing on a mono
+        #: input with an opaque concatenate shape error
+        self.num_channels = self._reader.num_channels
         self.block_size = block_size
         self.loop = loop
         self.realtime = realtime
@@ -207,9 +212,10 @@ class WavSink:
     host RAM. For hour-scale runs use :class:`StreamingSink` (O(block)
     RAM, per-sample clipping instead of the rescale)."""
 
-    def __init__(self, path: str, sample_rate: int):
+    def __init__(self, path: str, sample_rate: int, num_channels: int = 2):
         self.path = path
         self.sample_rate = sample_rate
+        self.num_channels = num_channels
         self._chunks: list[np.ndarray] = []
 
     def write(self, block: np.ndarray) -> None:
@@ -219,7 +225,7 @@ class WavSink:
         out = (
             np.concatenate(self._chunks, axis=-1)
             if self._chunks
-            else np.zeros((2, 0), np.float32)
+            else np.zeros((self.num_channels, 0), np.float32)
         )
         wavio.write_wav(out, self.path, self.sample_rate)
         return self.path
@@ -288,6 +294,11 @@ class CallbackOutputStream:
         self.frames_written = 0
         self.frames_played = 0
         self.closed = False
+        # underruns only count once the first write has landed: the device
+        # callback starts firing immediately while the DSP side is still
+        # jit-compiling, and charging that warm-up as hundreds of "missed
+        # deadlines" would make the health metric unusable
+        self._started = False
         #: optional device backend (an object with .stop()); set by
         #: :func:`open_output_stream` when a real audio stack exists
         self.backend = None
@@ -313,6 +324,7 @@ class CallbackOutputStream:
             return False
         self._ring.write(flat)
         self.frames_written += block.shape[1]
+        self._started = True
         return True
 
     def write_blocking(self, block: np.ndarray, timeout: float | None = None) -> bool:
@@ -354,7 +366,7 @@ class CallbackOutputStream:
         out = np.zeros(want, np.float32)
         if got:
             out[:got] = self._ring.read(got)
-        if got < want and not self.closed:
+        if got < want and not self.closed and self._started:
             self.underruns += 1
         self.frames_played += got // c
         return out.reshape(num_frames, c)

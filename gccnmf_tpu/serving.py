@@ -98,6 +98,7 @@ class StreamServer:
                     f"data-axis size ({dp})"
                 )
             self._slot_sharding = NamedSharding(mesh, P("data"))
+        self._reset_slot = jax.jit(self._reset_slot_impl)  # per-instance
         self._state = self._place(self.processor.init_state(max_streams))
         self._fresh_slot_state = self.processor.init_state(1)
         self._settings: list[StreamSettings | None] = [None] * max_streams
@@ -109,6 +110,7 @@ class StreamServer:
         # is exactly one block upload and one output download
         self._params_cache: StreamParams | None = None
         self._pending_telemetry = None
+        self._telemetry_cache = None  # materialized copy of the above
         if pipeline_depth < 0:
             raise ValueError("pipeline_depth must be >= 0")
         self.pipeline_depth = pipeline_depth
@@ -148,7 +150,12 @@ class StreamServer:
             slot = self._settings.index(None)
         except ValueError:
             raise RuntimeError(f"all {self.max_streams} stream slots busy") from None
-        self._settings[slot] = settings or StreamSettings()
+        # private copy: a caller sharing one StreamSettings object across
+        # open_stream calls must not have update_stream on one tenant
+        # mutate every other tenant opened with it
+        from dataclasses import replace as dc_replace
+
+        self._settings[slot] = dc_replace(settings) if settings else StreamSettings()
         self._params_cache = None
         self._state = self._reset_slot(self._state, jnp.int32(slot))
         stream_id = self._next_id
@@ -178,9 +185,10 @@ class StreamServer:
 
     # ------------------------------------------------------------- stepping
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _reset_slot(self, state, slot):
-        """Zero one slot's state leaves (traced index: one compile total)."""
+    def _reset_slot_impl(self, state, slot):
+        """Zero one slot's state leaves (traced index: one compile total).
+        Jitted per instance in __init__ — a class-level static-self jit
+        would retain every server ever built in one global cache."""
         fresh = self._fresh_slot_state
         return jax.tree_util.tree_map(
             lambda full, f1: jax.lax.dynamic_update_index_in_dim(
@@ -233,10 +241,18 @@ class StreamServer:
         """
         t0 = time.perf_counter()
         cfg = self.config
-        batch = np.zeros(
-            (self.max_streams, cfg.num_channels, cfg.block_size), np.float32
-        )
+        expect = (cfg.num_channels, cfg.block_size)
+        batch = np.zeros((self.max_streams,) + expect, np.float32)
         for stream_id, block in blocks.items():
+            block = np.asarray(block)
+            if block.shape != expect:
+                # a (block,) or (1, block) mono submission would silently
+                # numpy-broadcast into both channels — degenerate GCC-PHAT
+                # and a wrong "enhanced" output with no error
+                raise ValueError(
+                    f"stream {stream_id}: block shape {block.shape} != "
+                    f"expected {expect}"
+                )
             batch[self._ids[stream_id]] = block
         if self._params_cache is None:
             self._params_cache = self._place(self._batched_params())
@@ -250,6 +266,7 @@ class StreamServer:
             dict(self._ids),
             telemetry["target_tdoa_index"],
         )
+        self._telemetry_cache = None  # new tick invalidates the fetch
         if self.pipeline_depth:
             try:
                 out.copy_to_host_async()
@@ -318,11 +335,15 @@ class StreamServer:
 
     @property
     def telemetry(self) -> dict[int, dict]:
-        """Per-stream telemetry of the latest tick (lazy device fetch)."""
+        """Per-stream telemetry of the latest tick (lazy device fetch,
+        cached — a monitor polling between ticks pays the device→host
+        transfer once per tick, not per read)."""
         if self._pending_telemetry is None:
             return {}
         ids, tdoa_dev = self._pending_telemetry
-        tdoa = np.asarray(tdoa_dev)
+        if self._telemetry_cache is None:
+            self._telemetry_cache = np.asarray(tdoa_dev)
+        tdoa = self._telemetry_cache
         return {
             sid: dict(target_tdoa_index=float(tdoa[slot]))
             for sid, slot in ids.items()

@@ -53,13 +53,16 @@ class TestCallbackOutputStream:
     def test_underrun_pads_silence_and_counts(self):
         s = CallbackOutputStream(16000, num_channels=2, block_size=32,
                                  capacity_blocks=4)
-        out = s.callback(32)  # empty ring: one underrun, pure silence
-        assert s.underruns == 1
+        # pre-first-write shortfall is WARM-UP, not an underrun: the
+        # device callback starts before the DSP's jit compile finishes,
+        # and charging that would make the health metric unusable
+        out = s.callback(32)
+        assert s.underruns == 0
         np.testing.assert_array_equal(out, np.zeros((32, 2), np.float32))
         half = np.ones((2, 16), np.float32)
-        s.write(half)
+        s.write(half)  # first write: the deadline clock is now armed
         out = s.callback(32)  # 16 frames available, 16 padded
-        assert s.underruns == 2
+        assert s.underruns == 1
         np.testing.assert_array_equal(out[:16], np.ones((16, 2), np.float32))
         np.testing.assert_array_equal(out[16:], np.zeros((16, 2), np.float32))
         assert s.frames_played == 16
@@ -211,6 +214,19 @@ def rt_app(tmp_path, stereo_signal):
         config=load_config(None, dictionary_size=16, dictionary_sizes=(16,)),
         dictionaries={"Pretrained": {16: w}},
     )
+
+
+def test_run_rejects_mono_input_up_front(rt_app, tmp_path):
+    """A mono file must fail with the actual problem (channel count) at
+    run() entry — not crash deep inside jit tracing with an opaque
+    concatenate shape error after pretraining already ran."""
+    from gccnmf_tpu.utils import wav as wavio
+
+    mono = str(tmp_path / "mono.wav")
+    wavio.write_wav(np.zeros((1, 4096), np.float32) + 0.01, mono, 16000)
+    rt_app.audio_path = mono
+    with pytest.raises(ValueError, match="channel"):
+        rt_app.run(num_blocks=2)
 
 
 def test_run_streamed_output_matches_buffered_sink(rt_app, tmp_path):
@@ -368,16 +384,26 @@ def test_live_ring_source_end_to_end_with_device_clock(rt_app, tmp_path):
 
 
 def test_underruns_count_against_the_callback_clock(rt_app):
-    """Deadline accounting on the device clock: a consumer that pulls a
-    full block every tick while the DSP has produced nothing yet must log
-    underruns — the live-path equivalent of run()'s deadline_misses."""
+    """Deadline accounting on the device clock: once the DSP has written,
+    a callback that finds too few frames logs an underrun — the live-path
+    equivalent of run()'s deadline_misses. Pre-first-write shortfalls are
+    warm-up (jit compile) and are NOT charged."""
     cfg = rt_app.config
     stream = CallbackOutputStream(
         cfg.sample_rate, cfg.num_channels, cfg.block_size, capacity_blocks=4
     )
-    # device asks for audio before the DSP wrote anything: silence + count
+    # device asks before the DSP wrote anything: silence, zero charged
     stream.callback(cfg.block_size)
     stream.callback(cfg.block_size)
-    assert stream.underruns == 2
+    assert stream.underruns == 0
     stats = rt_app.run(num_blocks=2, output_stream=stream)
-    assert stats["output_underruns"] == 2  # surfaced in run() stats
+    assert stats["output_underruns"] == 0  # a healthy run reports clean
+    # the DSP has written: drain the ring dry, then one more pull must
+    # count against the armed deadline clock
+    while stream.pending_frames >= cfg.block_size:
+        stream.callback(cfg.block_size)
+    stream.callback(cfg.block_size)
+    assert stream.underruns >= 1
+    # surfaced through run() stats on the next run using the same stream
+    stats = rt_app.run(num_blocks=1, output_stream=stream)
+    assert stats["output_underruns"] == stream.underruns

@@ -509,6 +509,22 @@ class TestStructuralReconfig:
         assert app.processor.config.target_mode == TARGET_MODE_BOXCAR
         self._assert_continuous(outs)
 
+    def test_bad_geometry_rejected_before_commit(self, tmp_path):
+        """Invalid structural geometry must be rejected at the setter (the
+        caller's thread), not surface as an engine-rebuild exception on
+        the audio thread at the next block — and the committed config must
+        be untouched after the rejection."""
+        app, mix = self._app(tmp_path)
+        old = app.config
+        with pytest.raises(ValueError, match="divide"):
+            app.set_block_geometry(hop_size=384)  # 384 does not divide 512
+        with pytest.raises(ValueError, match="exceed"):
+            app.set_block_geometry(window_size=256, hop_size=512)
+        assert app.config == old
+        bs = app.config.block_size
+        out = app.process_block(mix[:, :bs])  # engine still healthy
+        assert out is None or np.isfinite(out).all()
+
     def test_block_geometry_midstream(self, tmp_path):
         app, mix = self._app(tmp_path)
         bs = app.config.block_size

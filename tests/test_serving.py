@@ -157,6 +157,37 @@ def test_update_stream_all_or_nothing(w, cfg):
     assert srv._settings[slot].target_epsilon == 5.0  # unchanged
 
 
+def test_shared_settings_object_does_not_alias_tenants(w, cfg):
+    """One StreamSettings object passed to several open_stream calls must
+    not make update_stream on one tenant mutate the others (the server
+    stores a private copy)."""
+    shared = StreamSettings(noise_floor=0.0)
+    srv = StreamServer(w, cfg, max_streams=2)
+    a = srv.open_stream(shared)
+    b = srv.open_stream(shared)
+    srv.update_stream(a, noise_floor=0.5)
+    assert srv._settings[srv._ids[a]].noise_floor == 0.5
+    assert srv._settings[srv._ids[b]].noise_floor == 0.0  # untouched
+    assert shared.noise_floor == 0.0  # the caller's object too
+
+
+def test_process_rejects_wrong_block_shape(w, cfg):
+    """A mono or flat block would silently numpy-broadcast into both
+    channels of the slot (degenerate GCC-PHAT, wrong output, no error) —
+    it must be rejected with the expected shape in the message."""
+    srv = StreamServer(w, cfg, max_streams=1)
+    sid = srv.open_stream()
+    good = _signal(2, 1, cfg)[0]
+    srv.process({sid: good})
+    for bad in (
+        np.zeros(cfg.block_size, np.float32),  # flat
+        np.zeros((1, cfg.block_size), np.float32),  # mono
+        np.zeros((cfg.num_channels, cfg.block_size - 1), np.float32),
+    ):
+        with pytest.raises(ValueError, match="block shape"):
+            srv.process({sid: bad})
+
+
 def test_silent_ticks_do_not_poison_localization(w, cfg):
     """All-zero blocks (idle slots, digital silence) must not write NaN
     GCC-PHAT into the localization history ring: one NaN row would make
