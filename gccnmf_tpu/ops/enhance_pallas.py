@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gccnmf_tpu.ops.pallas_common import make_mm
+
 try:  # pallas is TPU/interpret-only; import lazily for CPU-only installs
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -57,23 +59,7 @@ def _mask_kernel(
 ):
     tile_t = cre_ref.shape[1]
 
-    if jnp.dtype(matmul_dtype) == jnp.float32:
-
-        def mm(x, y):
-            return jax.lax.dot_general(
-                x, y, ((((1,), (0,))), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
-    else:
-        md = jnp.dtype(matmul_dtype)
-
-        def mm(x, y):
-            return jax.lax.dot_general(
-                x.astype(md), y.astype(md), ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    mm = make_mm(matmul_dtype)
 
     dc = pl.program_id(2)
     n_dc = pl.num_programs(2)
@@ -324,22 +310,7 @@ def _tf_synth_kernel(
 ):
     tile_t = hm_ref.shape[1]
 
-    if jnp.dtype(matmul_dtype) == jnp.float32:
-
-        def mm(x, y):
-            return jax.lax.dot_general(
-                x, y, ((((1,), (0,))), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-    else:
-        md = jnp.dtype(matmul_dtype)
-
-        def mm(x, y):
-            return jax.lax.dot_general(
-                x.astype(md), y.astype(md), ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    mm = make_mm(matmul_dtype)
 
     i = pl.program_id(1)
 

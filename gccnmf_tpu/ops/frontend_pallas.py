@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gccnmf_tpu.ops.nmf_pallas import pad_to_multiple
+from gccnmf_tpu.ops.pallas_common import make_mm
 from gccnmf_tpu.ops.stft import dft_matrices, num_frames
 
 __all__ = ["stft_gcc_frontend_pallas"]
@@ -46,22 +47,7 @@ def _frontend_kernel(tile_t, ratio, matmul_dtype, plane_dtype,
                      a_ref, b_ref, wboth_ref, steer_ref,
                      sre_ref, sim_ref, v_ref, cre_ref, cim_ref, ang_ref):
     pd = jnp.dtype(plane_dtype)
-    if jnp.dtype(matmul_dtype) == jnp.float32:
-
-        def mm(a, b):
-            return jax.lax.dot_general(
-                a, b, ((((1,), (0,))), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-    else:
-        md = jnp.dtype(matmul_dtype)
-
-        def mm(a, b):
-            return jax.lax.dot_general(
-                a.astype(md), b.astype(md), ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    mm = make_mm(matmul_dtype)
 
     from jax.experimental.pallas import tpu as pltpu
 

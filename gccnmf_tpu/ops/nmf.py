@@ -73,7 +73,7 @@ def _mm(a, b, precision):
     return jnp.matmul(a, b, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "precision"))
+@partial(jax.jit, static_argnames=("num_iterations", "precision", "guard"))
 def kl_nmf(
     v: jax.Array,
     w0: jax.Array,
@@ -82,28 +82,46 @@ def kl_nmf(
     sparsity_alpha: float = 0.0,
     epsilon: float = 1e-16,
     precision=_HIGHEST,
+    guard: bool = False,
 ):
     """Run ``num_iterations`` multiplicative KL updates.
 
     ``v``: (..., T, F) nonneg magnitudes; ``w0``: (..., F, K);
     ``h0``: (..., T, K) — leading batch dims are mapped elementwise.
     Returns ``(W, H)`` with the same shapes/dtypes (float32).
+
+    ``guard=False`` is the reference-exact divide discipline (0/0 → NaN
+    on digital silence, like gccNMFFunctions.py:76-77 would). ``guard=True``
+    opts into the double-where silence guards (see :func:`h_infer`): an
+    all-zero V frame collapses its H row to 0 instead of NaN-poisoning W.
+    Positive data takes the identical bit path, so guarded results equal
+    unguarded ones whenever the latter are finite. The hour-scale drivers
+    guard (real long recordings routinely contain silent windows); the
+    10 s parity paths do not.
     """
     v = v.astype(jnp.float32)
+    tiny = 1e-30
+
+    def safe_div(a, b):
+        ok = b > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    div = safe_div if guard else (lambda a, b: a / b)
 
     def body(_, wh):
         w, h = wh
         wt = jnp.swapaxes(w, -1, -2)
-        q = v / _mm(h, wt, precision)
+        q = div(v, _mm(h, wt, precision))
         h = h * _mm(q, w, precision) / (
             jnp.sum(w, axis=-2, keepdims=True) + sparsity_alpha + epsilon
         )
-        q = v / _mm(h, wt, precision)
-        w = w * jnp.einsum(
-            "...tf,...tk->...fk", q, h, precision=precision
-        ) / jnp.sum(h, axis=-2, keepdims=True)
+        q = div(v, _mm(h, wt, precision))
+        w = w * div(
+            jnp.einsum("...tf,...tk->...fk", q, h, precision=precision),
+            jnp.sum(h, axis=-2, keepdims=True),
+        )
         norms = jnp.sqrt(jnp.sum(w * w, axis=-2, keepdims=True))
-        return w / norms, h * norms
+        return div(w, norms), h * norms
 
     return jax.lax.fori_loop(0, num_iterations, body, (w0, h0))
 

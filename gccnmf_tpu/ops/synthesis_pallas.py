@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gccnmf_tpu.ops.pallas_common import make_mm
 from gccnmf_tpu.ops.stft import idft_matrices
 
 try:  # pallas is TPU/interpret-only; import lazily for CPU-only installs
@@ -58,23 +59,7 @@ def _synthesis_kernel(
 ):
     tile_t = re_ref.shape[2]
 
-    def mm_exact(x, y):
-        return jax.lax.dot_general(
-            x, y, ((((1,), (0,))), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-    if jnp.dtype(matmul_dtype) == jnp.float32:
-        mm = mm_exact
-    else:
-        md = jnp.dtype(matmul_dtype)
-
-        def mm(x, y):
-            return jax.lax.dot_general(
-                x.astype(md), y.astype(md), ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    mm = make_mm(matmul_dtype)
 
     i = pl.program_id(1)
 

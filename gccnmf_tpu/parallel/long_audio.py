@@ -30,7 +30,6 @@ tests/test_long_audio.py.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import replace
 
 import jax
@@ -78,6 +77,10 @@ class LongAudioSeparator:
         self.nmf_init = nmf_init
         self._stft_method = config.resolved_stft_method()
         self._window = win_ops.hann_symmetric(config.window_size)
+        # per-instance jit (see models/realtime.py): a class-level
+        # static-self jit would retain every separator in a global cache
+        self._analyze_shards = jax.jit(self._analyze_shards_impl)
+        self._reconstruct_shards = jax.jit(self._reconstruct_shards_impl)
         self._cos_sin = gcc.steering_cos_sin(
             float(config.sample_rate),
             config.num_freq,
@@ -87,8 +90,7 @@ class LongAudioSeparator:
 
     # ------------------------------------------------------------- stage A
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _analyze_shards(self, chunks: jax.Array):
+    def _analyze_shards_impl(self, chunks: jax.Array):
         """(S, 2, chunk_len) sample chunks → sharded spec/coh/V/ang-sum."""
         cfg = self.config
 
@@ -97,7 +99,7 @@ class LongAudioSeparator:
                 chunk[0], self._window, cfg.hop_size, conjugate=True,
                 method=self._stft_method,
             )  # (2, T_s, F)
-            coh = gcc.coherence(spec)  # (T_s, F)
+            coh = gcc.coherence(spec, guard_zeros=True)  # (T_s, F)
             v = jnp.concatenate([jnp.abs(spec[0]), jnp.abs(spec[1])], axis=0)
             ang = gcc.angular_spectrogram(coh, *self._cos_sin)  # (T_s, D)
             ang_sum = jax.lax.psum(jnp.sum(ang, axis=0), "data")  # (D,)
@@ -114,8 +116,7 @@ class LongAudioSeparator:
 
     # ------------------------------------------------------------- stage D
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _reconstruct_shards(self, spec, coh, h_sharded, w, targets):
+    def _reconstruct_shards_impl(self, spec, coh, h_sharded, w, targets):
         """Masked reconstruction + local ISTFT + ppermute seam exchange.
 
         Returns (owned, tails): ``owned`` (S, N, 2, T_s*hop) is each
@@ -130,12 +131,18 @@ class LongAudioSeparator:
 
         def local(spec_l, coh_l, h_l, w_l, targets_l):
             spec0, coh0, h0 = spec_l[0], coh_l[0], h_l[0]  # (2,T_s,F),(T_s,F),(2,T_s,K)
-            scores = masks.target_attribution(
-                coh0, *self._cos_sin, targets_l, w_l
-            )
-            coef = masks.hard_coefficient_masks(scores)  # (N, T_s, K)
+            # winner formulation (masks.attribution_winner): two flat
+            # (T_s, F) x (F, N·K) GEMMs with the steering columns folded
+            # into the dictionary — the (N, T_s, F) broadcast intermediate
+            # that target_attribution materializes (~0.7 GB per shard at
+            # hour scale) never exists, and only the argmax is kept
+            winner = masks.attribution_winner(
+                coh0[None], *self._cos_sin, targets_l[None], w_l[None]
+            )[0]  # (T_s, K) int32
+            n_targets = targets_l.shape[0]
 
-            def per_target(coef_n):  # (T_s, K) → (2, L_out)
+            def per_target(n):  # target index → (2, L_out)
+                coef_n = (winner == n).astype(jnp.float32)  # (T_s, K)
                 spec_est = masks.masked_reconstruction(
                     coef_n[None], spec0, w_l, h0
                 )[0]  # (2, T_s, F)
@@ -153,7 +160,9 @@ class LongAudioSeparator:
             # resident at once — at hour-scale T_s that alone is ~11 GB;
             # per-target it is ~1/N of that, and the per-target GEMMs stay
             # MXU-sized
-            y = jax.lax.map(per_target, coef)  # (N, 2, L_out)
+            y = jax.lax.map(
+                per_target, jnp.arange(n_targets, dtype=jnp.int32)
+            )  # (N, 2, L_out)
             t_s = spec0.shape[-2]
             own_len = t_s * hop
             tail = y[..., own_len:]  # (N, 2, overlap)
@@ -180,7 +189,10 @@ class LongAudioSeparator:
         window, hop = cfg.window_size, cfg.hop_size
         t_total = stft_ops.num_frames(n_samples, window, hop)
         t_s = t_total // s
-        if t_s * hop < window - hop:
+        # t_s < 1 must fail here too: with hop == window (overlap 0) the
+        # seam inequality degenerates to 0 < 0 and a zero-frame pipeline
+        # would otherwise run through to a confusing no-peaks error
+        if t_s < 1 or t_s * hop < window - hop:
             raise ValueError(
                 f"audio too short to shard {s} ways: {t_s} frames/shard"
             )
@@ -240,6 +252,10 @@ class LongAudioSeparator:
             v2, w0_sh, h0_sh, cfg.num_iterations, self.mesh,
             cfg.sparsity_alpha, cfg.epsilon,
             simultaneous=(cfg.nmf_matmul_dtype == "bfloat16_q_simul"),
+            # hour-scale recordings routinely contain digitally silent
+            # windows; the silence guards are bit-identical on positive
+            # data, so the single-device parity pins still hold
+            guard=True,
         )
 
         mean_ang = np.asarray(ang_sum) / t
@@ -327,6 +343,7 @@ class LongAudioSeparator:
                 replace(cfg, sample_rate=reader.sample_rate),
                 self.mesh,
                 chunk_frames=self.chunk_frames,
+                nmf_init=self.nmf_init,
             )
             return sep.separate_streamed(
                 mixture_path, output_prefix, num_sources
@@ -385,11 +402,14 @@ class LongAudioSeparator:
                     buf = buf[:, buf.shape[-1] - half :]
                 pending[n] = buf
 
+        # ONE shard resident on host at a time (the O(chunk)-RAM contract:
+        # materializing every shard before the emit loop would hold the
+        # whole multi-GB output for an hour-scale run)
         if jax.process_count() == 1:
             shard_blocks = sorted(
                 owned.addressable_shards, key=lambda sh: sh.index[0].start or 0
             )
-            ordered = [np.asarray(sh.data)[0] for sh in shard_blocks]
+            ordered = (np.asarray(sh.data)[0] for sh in shard_blocks)
             tail_np = np.asarray(
                 sorted(
                     tails.addressable_shards,
@@ -398,7 +418,7 @@ class LongAudioSeparator:
             )[0]
         else:
             owned_np = mesh_lib.gather_to_host(owned)
-            ordered = [owned_np[i] for i in range(s)]
+            ordered = (owned_np[i] for i in range(s))
             tail_np = mesh_lib.gather_to_host(tails)[-1]
 
         for i, block in enumerate(ordered):
@@ -520,7 +540,7 @@ class LongAudioSeparator:
                 samples, window, hop, conjugate=True,
                 method=self._stft_method,
             )  # (2, tc, F)
-            coh = gcc.coherence(spec)
+            coh = gcc.coherence(spec, guard_zeros=True)
             ang = gcc.angular_spectrogram(coh, cos_m, sin_m)
             spec_re = jax.lax.dynamic_update_slice(
                 spec_re, jnp.real(spec).astype(plane), (0, t0, 0)
@@ -564,6 +584,7 @@ class LongAudioSeparator:
             w, h = nmf.kl_nmf(
                 v2, w0, h0_dev, cfg.num_iterations,
                 cfg.sparsity_alpha, cfg.epsilon,
+                guard=True,  # silence-tolerant (see kl_nmf docstring)
             )
 
         mean_ang = ang_acc / t_total
@@ -585,7 +606,7 @@ class LongAudioSeparator:
                     spec_im, (0, t0, 0), (2, tc, f)
                 ).astype(jnp.float32)
                 spec = sre + 1j * sim  # (2, tc, F) complex64
-                coh = gcc.coherence(spec)
+                coh = gcc.coherence(spec, guard_zeros=True)
                 h_l = jnp.stack(
                     [
                         jax.lax.dynamic_slice(h, (t0, 0), (tc, k)),
@@ -737,6 +758,7 @@ class LongAudioSeparator:
                 replace(self.config, sample_rate=sr),
                 self.mesh,
                 chunk_frames=self.chunk_frames,
+                nmf_init=self.nmf_init,
             )
         result = sep.separate(stereo)
         prefix = output_prefix or wav.default_output_prefix(mixture_path)

@@ -48,7 +48,8 @@ def pad_time(v: np.ndarray, h0: np.ndarray, multiple: int, epsilon: float = 1e-1
 @partial(
     jax.jit,
     static_argnames=(
-        "num_iterations", "mesh", "sparsity_alpha", "epsilon", "simultaneous"
+        "num_iterations", "mesh", "sparsity_alpha", "epsilon", "simultaneous",
+        "guard",
     ),
 )
 def kl_nmf_sharded(
@@ -60,6 +61,7 @@ def kl_nmf_sharded(
     sparsity_alpha: float = 0.0,
     epsilon: float = 1e-16,
     simultaneous: bool = False,
+    guard: bool = False,
 ):
     """Sharded KL-NMF. ``v``: (T, F) with T divisible by mesh 'data' size;
     ``w0``: (F, K) with K divisible by mesh 'model' size; ``h0``: (T, K).
@@ -96,14 +98,17 @@ def kl_nmf_sharded(
         # path mirrors kl_nmf (unguarded, reference semantics), the
         # simultaneous turbo path mirrors kl_nmf_simul's double-where
         # silence guards — positive data takes the identical bit path,
-        # digital silence yields zeros instead of 0/0 → NaN (ADVICE r2)
+        # digital silence yields zeros instead of 0/0 → NaN (ADVICE r2).
+        # ``guard=True`` opts the reference-order updates into the same
+        # silence guards: the hour-scale drivers use it because real long
+        # recordings routinely contain digitally silent windows.
         tiny = 1e-30
 
         def safe_div(a, b):
             ok = b > tiny
             return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
 
-        div = safe_div if simultaneous else (lambda a, b: a / b)
+        div = safe_div if (simultaneous or guard) else (lambda a, b: a / b)
 
         def body(_, carry):
             w_l, h = carry

@@ -321,6 +321,35 @@ class TestChunkedStreamed:
         assert np.isfinite(est).all() and np.abs(est).max() > 0
         assert not np.array_equal(est, np.asarray(ref["estimates"]))
 
+    def test_digital_silence_does_not_nan_poison(self, cfg, mesh1, tmp_path):
+        """Hour-scale recordings routinely contain digitally silent spans
+        (dropouts, muted segments). Unguarded coherence (0/0) and NMF
+        multiplicative updates (H row collapses to 0, then 0/0) would
+        NaN-poison localization and every output sample; the long-audio
+        drivers must guard and still separate the nonsilent content."""
+        from gccnmf_tpu.utils import wav as wavio
+
+        stereo = _two_source_mix(200)
+        # silence several whole analysis windows in BOTH channels mid-file
+        # (exact zeros, aligned so at least one frame is fully silent)
+        stereo[:, 40 * 128 : 40 * 128 + 4 * 1024] = 0.0
+        path = str(tmp_path / "silent_span.wav")
+        wavio.write_wav(stereo, path, 16000)
+        stereo_q, _ = wavio.read_wav(path)
+
+        # sharded (8-device mesh) in-memory driver
+        out = LongAudioSeparator(cfg).separate(stereo_q)
+        assert np.isfinite(np.asarray(out["estimates"])).all()
+        assert np.isfinite(out["mean_angular_spectrum"]).all()
+
+        # single-device chunked streamed driver
+        ch = LongAudioSeparator(cfg, mesh1, chunk_frames=64).separate_streamed(
+            path, output_prefix=str(tmp_path / "sil"), num_sources=2
+        )
+        for p in ch["paths"]:
+            got, _ = wavio.read_wav(p)
+            assert np.isfinite(got).all() and np.abs(got).max() > 0
+
     def test_seeded_init_chunked_draw_is_exact(self, cfg, mesh1):
         """The atom-block H0 draw reproduces nmf_init_numpy's MT19937
         stream bit-for-bit."""
