@@ -126,6 +126,16 @@ def kl_nmf_checkpointed(
     if resume:
         w, h, start = load_nmf_state(resume, expect_meta=meta)
         logger.info("resuming NMF from iteration %d (%s)", start, resume)
+        if start > num_iterations:
+            # the fingerprint deliberately excludes the iteration target
+            # (resume-and-train-further is legitimate) — but silently
+            # returning a 200-iteration state as "the requested 100" would
+            # corrupt any comparison across iteration counts
+            raise ValueError(
+                f"checkpoint in {ckpt_dir} is at iteration {start}, past "
+                f"the requested {num_iterations}; point at a fresh "
+                f"ckpt_dir to train fewer iterations"
+            )
     it = start
     while it < num_iterations:
         chunk = min(checkpoint_every, num_iterations - it)

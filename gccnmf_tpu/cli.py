@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 import numpy as np
@@ -77,7 +78,6 @@ def separate_main(argv=None):
         # an error
         ap.error("--device-init requires --streamed or --time-shards")
 
-    import os
 
     from gccnmf_tpu.models.offline import GCCNMFSeparator, OfflineConfig
     from gccnmf_tpu.utils import wav
@@ -128,6 +128,7 @@ def separate_main(argv=None):
             stereo, sr = None, wav.WavReader(path).sample_rate
         else:
             stereo, sr = wav.read_wav(path)
+            _require_stereo(stereo, path)
         if separator is None or separator.config.sample_rate != sr:
             separator = make_separator(sr)  # jit cache reused across files
         if args.streamed:
@@ -150,6 +151,18 @@ def separate_main(argv=None):
 
 
 
+def _require_stereo(audio, path, num_channels=2):
+    """Fail with the actual problem (channel count) at the CLI boundary —
+    a mono file would otherwise crash deep inside jit tracing with an
+    opaque shape error (GCC-PHAT needs a microphone pair)."""
+    shape = np.shape(audio)
+    if len(shape) != 2 or shape[0] != num_channels:
+        raise SystemExit(
+            f"{path}: expected {num_channels}-channel audio, got shape "
+            f"{shape} (GCC-PHAT needs a stereo microphone pair)"
+        )
+
+
 def _resolve_dictionary(cfg, size=None):
     """Explicit artifact (cfg.dictionary_file) wins; otherwise the
     corpus-keyed pretraining cache."""
@@ -167,11 +180,10 @@ def enhance_main(argv=None):
     ap.add_argument("input", nargs="+",
                     help="stereo WAV(s); same-length files at the same "
                          "sample rate reuse one compiled program. The NMF "
-                         "dictionary is resolved ONCE from the config and "
-                         "the FIRST input (when pretraining falls back to "
-                         "the input audio) and reused for every file — "
-                         "pass --dictionary-file for an explicit shared "
-                         "dictionary with heterogeneous inputs")
+                         "dictionary is resolved ONCE (explicit "
+                         "--dictionary-file, else the corpus-pretrained "
+                         "cache — like the reference, it is NEVER trained "
+                         "on the input audio) and reused for every file")
     ap.add_argument("-o", "--output", default=None,
                     help="output path (single input only; multiple inputs "
                          "write <input>_enhanced.wav next to each file)")
@@ -214,11 +226,12 @@ def enhance_main(argv=None):
     outputs = []
     for path in args.input:
         stereo, sr = wav.read_wav(path)
+        _require_stereo(stereo, path)
         out = enhance_one(stereo, sr)
         out_path = (
             args.output
             if args.output and len(args.input) == 1
-            else path.rsplit(".", 1)[0] + "_enhanced.wav"
+            else os.path.splitext(path)[0] + "_enhanced.wav"
         )
         wav.write_wav(np.asarray(out), out_path, sr)
         outputs.append(out_path)
@@ -338,6 +351,7 @@ def stream_main(argv=None):
                  % (block, hop))
 
     stereo, sr = wav.read_wav(args.input)
+    _require_stereo(stereo, args.input)
     if stereo.shape[-1] < block:
         ap.error("input is shorter than one %d-sample block" % block)
     w = _resolve_dictionary(cfg)
@@ -351,6 +365,10 @@ def stream_main(argv=None):
         analysis_window="asymmetric" if args.low_latency else "sqrt_hamming",
     )
     params = StreamParams.default(
+        # broadside center for THIS grid — StreamParams.default's 32 is
+        # only the middle of the default 64-TDOA grid, and with
+        # localization disabled this value IS the mask center
+        target_tdoa_index=scfg.num_tdoas / 2.0,
         target_epsilon=cfg.target_tdoa_epsilon,
         target_beta=cfg.target_tdoa_beta,
         noise_floor=cfg.target_tdoa_noise_floor,
@@ -386,7 +404,7 @@ def stream_main(argv=None):
         out = proc.enhance_signal(stereo, params)[0]
         stats = dict(blocks=out.shape[-1] // scfg.block_size)
 
-    out_path = args.output or args.input.rsplit(".", 1)[0] + "_rtenhanced.wav"
+    out_path = args.output or os.path.splitext(args.input)[0] + "_rtenhanced.wav"
     wav.write_wav(out, out_path, sr)
     print(
         json.dumps(
@@ -506,7 +524,6 @@ def serve_main(argv=None):
     equivalent — the reference serves one stream per process). Streams
     whose files end close early; ticks continue until all streams drain.
     """
-    import os
 
     ap = argparse.ArgumentParser(description="Multi-stream GCC-NMF server")
     ap.add_argument("-i", "--inputs", nargs="+", required=True,
@@ -540,21 +557,40 @@ def serve_main(argv=None):
     cfg = load_config(args.config, dictionary_file=args.dictionary_file)
     dict_size = args.dictionary_size or cfg.dictionary_size
     scfg = StreamConfig.from_app_config(cfg)
+    if args.max_streams is not None and args.max_streams < len(args.inputs):
+        # every input claims a slot for its whole run; queueing excess
+        # inputs is not implemented, so reject instead of crashing on the
+        # (len(inputs)+1)-th open_stream with a raw RuntimeError
+        ap.error(
+            f"--max-streams {args.max_streams} < {len(args.inputs)} inputs "
+            "(each input holds a slot for its whole run)"
+        )
     w = _resolve_dictionary(cfg, size=dict_size)
     server = StreamServer(
         w, scfg, max_streams=args.max_streams or len(args.inputs),
         pipeline_depth=args.pipeline_depth,
     )
 
+    from gccnmf_tpu.serving import StreamSettings
+
     streams = {}
     for path in args.inputs:
         audio, sr = wavio.read_wav(path)
         if sr != scfg.sample_rate:
             raise SystemExit(f"{path}: sample rate {sr} != {scfg.sample_rate}")
+        if audio.ndim != 2 or audio.shape[0] != scfg.num_channels:
+            raise SystemExit(
+                f"{path}: expected {scfg.num_channels}-channel audio, got "
+                f"shape {audio.shape} (GCC-PHAT needs a stereo pair)"
+            )
         nb = audio.shape[-1] // scfg.block_size
         if args.blocks:
             nb = min(nb, args.blocks)
-        sid = server.open_stream()
+        # broadside mask center for THIS grid (StreamSettings' 32 is only
+        # the middle of the default 64-TDOA grid)
+        sid = server.open_stream(
+            StreamSettings(target_tdoa_index=scfg.num_tdoas / 2.0)
+        )
         streams[sid] = dict(path=path, audio=audio, nb=nb, sub=0, out=[])
         if nb == 0:  # shorter than one block: nothing to process
             server.close_stream(sid)
@@ -587,7 +623,7 @@ def serve_main(argv=None):
     outputs = []
     used = set()
     for sid, s in streams.items():
-        name = os.path.basename(s["path"]).rsplit(".", 1)[0]
+        name = os.path.splitext(os.path.basename(s["path"]))[0]
         stem, k = name, 1
         while stem in used:  # same-named inputs: disambiguate
             k += 1
@@ -673,8 +709,6 @@ def pretrain_main(argv=None):
     trained = {}
     saved = []
     if args.save_dir:
-        import os
-
         os.makedirs(args.save_dir, exist_ok=True)
     for size in args.sizes:
         w = pretrain.pretrain_dictionary(
@@ -684,8 +718,6 @@ def pretrain_main(argv=None):
         )
         trained[size] = list(w.shape)
         if args.save_dir:
-            import os
-
             path = os.path.join(args.save_dir, f"W_{size}.npy")
             np.save(path, w)
             saved.append(path)

@@ -361,6 +361,7 @@ class RealtimeGCCNMFWindow:
         self.blocks_processed = 0
         self.deadline_misses = 0
         self._proc_times: deque = deque(maxlen=64)
+        self._pump_error: str | None = None  # rendered on the status line
         if output_stream is None:
             from gccnmf_tpu.realtime.audio import open_output_stream
 
@@ -531,6 +532,14 @@ class RealtimeGCCNMFWindow:
                 "input has %d channel(s); engine needs %d — not playing",
                 source.num_channels, cfg.num_channels,
             )
+            # surface in the window (rendered by the GUI-thread status
+            # refresh — a logger line is invisible in a GUI session) and
+            # reset the Play button instead of leaving a dead "Pause"
+            self._pump_error = (
+                f"error: input has {source.num_channels} channel(s); "
+                f"need {cfg.num_channels}"
+            )
+            self._playing.clear()
             return
         stream = self.output_stream
         deadline = cfg.block_size / cfg.sample_rate
@@ -549,7 +558,11 @@ class RealtimeGCCNMFWindow:
                 self.deadline_misses += 1
             # play the enhanced block live (the reference demo's entire
             # point: audioProcessor.py:106-132); without an audio backend
-            # stream is None and the output is discarded as before
+            # stream is None and the output is discarded as before. The
+            # close path joins with a timeout, so a block that was mid-jit
+            # when the window closed must not touch the (closed) stream.
+            if self._stop.is_set():
+                return
             if out is not None and stream is not None:
                 stream.write(out)
         if stream is not None:  # file ended: drain the dispatch pipeline
@@ -588,6 +601,11 @@ class RealtimeGCCNMFWindow:
         analogue: min/max/avg block processing time logged every 2 s,
         audioProcessor.py:98-102 — plus the deadline/underrun accounting
         the reference never surfaced)."""
+        if self._pump_error:
+            self.status_var.set(self._pump_error)
+            if self.play_btn.cget("text") == "Pause":
+                self.play_btn.configure(text="Play")
+            return
         if not self.blocks_processed:
             return
         try:

@@ -44,11 +44,13 @@ NUM_PRETRAIN_ITERATIONS = 100
 
 
 def _corpus_fingerprint(v: np.ndarray) -> str:
-    # hash ALL sampled rows (a truncated digest let corpora differing only
-    # in later content collide to the same cache key)
+    # hash the WHOLE corpus, not a strided sample: same-shape corpora that
+    # differ only between stride points (one swapped WAV) must not reuse a
+    # stale cached dictionary. Hashing even a 40 MB hour-scale corpus is
+    # ~100 ms against seconds of training.
     h = hashlib.sha1()
     h.update(str(v.shape).encode())
-    h.update(np.ascontiguousarray(v[:: max(1, len(v) // 64)]).tobytes())
+    h.update(np.ascontiguousarray(v).tobytes())
     return h.hexdigest()[:12]
 
 
@@ -134,7 +136,12 @@ def pretrain_dictionary(
         w = np.asarray(w)
 
     os.makedirs(cache_dir, exist_ok=True)
-    np.save(cache_path, w)
+    # atomic publish (tmp + rename): two processes cold-starting on the
+    # same key must never read a torn .npy (native/build.py and
+    # checkpoint.py use the same pattern)
+    tmp_path = f"{cache_path}.{os.getpid()}.tmp.npy"  # .npy: np.save keeps it
+    np.save(tmp_path, w)
+    os.replace(tmp_path, cache_path)
     return w
 
 

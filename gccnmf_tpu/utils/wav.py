@@ -16,6 +16,7 @@ Channel convention: ``read_wav`` returns ``(channels, n)`` float32.
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 from scipy.io import wavfile as _sp_wavfile
@@ -42,7 +43,9 @@ def default_output_prefix(mixture_path: str) -> str:
     driver so the naming convention cannot drift between them."""
     if mixture_path.endswith("_mix.wav"):
         return mixture_path[: -len("_mix.wav")]
-    return mixture_path.rsplit(".", 1)[0]
+    # splitext, NOT rsplit('.'): an extension-less file inside a dotted
+    # directory (/data.v2/mix) must not be split at the directory's dot
+    return os.path.splitext(mixture_path)[0]
 
 
 def _to_float32(pcm: np.ndarray) -> np.ndarray:

@@ -70,6 +70,47 @@ class TestPretrain:
 
 
 class TestCLI:
+    def test_fingerprint_covers_every_row(self):
+        """Same-shape corpora that differ only BETWEEN the old stride
+        points must map to different cache keys (a strided hash silently
+        reused a stale dictionary)."""
+        rng = np.random.default_rng(0)
+        a = rng.random((2000, 64)).astype(np.float32)
+        b = a.copy()
+        b[1] += 1e-3  # row 1 is between 31-row stride points at this size
+        assert pretrain._corpus_fingerprint(a) != pretrain._corpus_fingerprint(b)
+        assert pretrain._corpus_fingerprint(a) == pretrain._corpus_fingerprint(
+            a.copy()
+        )
+
+    def test_cache_publish_is_atomic(self, wav_file, tmp_path):
+        """The cache artifact appears under its final name only complete
+        (tmp + os.replace) — no torn .npy is ever visible to a concurrent
+        reader."""
+        path, _ = wav_file
+        corpus = pretrain.training_corpus_from_wavs([path], 1024, 512)[:128]
+        cache = str(tmp_path / "cache")
+        pretrain.pretrain_dictionary(corpus, 8, num_iterations=2, cache_dir=cache)
+        names = os.listdir(cache)
+        assert len(names) == 1 and names[0].endswith(".npy")
+        assert ".tmp" not in names[0]
+        w = np.load(os.path.join(cache, names[0]))
+        assert w.shape == (513, 8)
+
+    def test_cli_rejects_mono_input_clearly(self, tmp_path):
+        """Every CLI must fail a mono file with the actual problem
+        (channel count), not an opaque jit shape error."""
+        from gccnmf_tpu.cli import separate_main, stream_main
+
+        mono = str(tmp_path / "mono_mix.wav")
+        wavio.write_wav(np.zeros((1, 8192), np.float32) + 0.01, mono, 16000)
+        with pytest.raises(SystemExit, match="stereo"):
+            separate_main([mono, "--num-iterations", "2",
+                           "--dictionary-size", "8", "--num-sources", "1"])
+        with pytest.raises(SystemExit, match="stereo"):
+            stream_main(["-i", mono, "-o", str(tmp_path / "o.wav"),
+                         "--dictionary-file", "nonexistent.npy"])
+
     def test_separate_cli(self, wav_file, tmp_path, capsys):
         from gccnmf_tpu import cli
 

@@ -591,6 +591,30 @@ def test_stub_window_pump_plays_enhanced_blocks(gui_app):
     assert stream.closed, "close path must close the output stream"
 
 
+def test_stub_window_pump_error_surfaces_on_status_line(gui_app, tmp_path):
+    """A doomed pump (mono input) must surface its error on the status
+    line and reset the Play button — not die silently on a logger most
+    GUI sessions never see, leaving a frozen 'Pause' UI."""
+    from gccnmf_tpu.utils import wav as wavio
+
+    mono = str(tmp_path / "mono.wav")
+    wavio.write_wav(np.zeros((1, 8192), np.float32) + 0.01, mono, 16000)
+    gui_app.audio_path = mono
+    win, _ = _make_window(gui_app)
+    try:
+        win.toggle_play()
+        assert _wait_until(
+            lambda: win._pump_error is not None
+            and not win._worker.is_alive(),
+            timeout_s=30.0,
+        )
+        win.root.run_after_callbacks()  # 100 ms tick renders the error
+        assert "channel" in win.status_var.get()
+        assert win.play_btn.options["text"] == "Play"  # not a stuck Pause
+    finally:
+        win.close()
+
+
 def test_stub_window_status_line_shows_live_health(gui_app):
     """The status line must surface the pump's health counters — block
     count, processing times, deadline misses, and the output stream's

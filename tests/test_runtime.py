@@ -369,6 +369,20 @@ class TestCheckpoint:
         )
         np.testing.assert_array_equal(np.asarray(w_re), w_final1)
 
+    def test_resume_past_target_raises(self, tmp_path):
+        """A checkpoint beyond the requested iteration count must raise —
+        silently returning the 20-iteration state as 'the requested 10'
+        would corrupt any comparison across iteration counts."""
+        from gccnmf_tpu import checkpoint
+
+        v, w0, h0 = self._problem()
+        ck = str(tmp_path / "ck")
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 20, ck, checkpoint_every=5)
+        with pytest.raises(ValueError, match="past"):
+            checkpoint.kl_nmf_checkpointed(v, w0, h0, 10, ck, checkpoint_every=5)
+        # the exact-target rerun stays a no-op (start == num_iterations)
+        checkpoint.kl_nmf_checkpointed(v, w0, h0, 20, ck, checkpoint_every=5)
+
     def test_mismatched_meta_rejected(self, tmp_path):
         from gccnmf_tpu import checkpoint
 
