@@ -31,8 +31,14 @@ the wire); ``with_host_io_serial_audio_s_per_s`` is the naive
 upload→compute→download call. Both cross the ~50-120 MB/s axon tunnel
 here, so they lower-bound a directly-attached host.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Output contract (round-5 fix — BENCH_r04.json lost its headline to the
+driver's ~4 KB stdout-tail window when the full result line outgrew it):
+the FULL result dict is written to ``docs/bench_full.json`` and printed on
+an earlier stdout line; the FINAL stdout line is a compact headline
+summary (``headline_summary``) guaranteed < 2 KB, so the driver's
+tail-window parse always captures ``value``/``vs_baseline``/MFU/quality/
+latency keys plus the git SHA.  ``tests/test_bench_models.py`` gates the
+size invariant.
 """
 
 import argparse
@@ -636,6 +642,72 @@ def bench_low_latency(sr, host_steps: int = 40, synthesis_length: int = 24):
     }
 
 
+_HEADLINE_MAX_BYTES = 2048
+
+# (headline key, path into the full result dict) — every entry the round-4
+# verdict named as "must survive the driver's tail window", flattened.
+_HEADLINE_KEYS = (
+    ("metric", ("metric",)),
+    ("value", ("value",)),
+    ("unit", ("unit",)),
+    ("vs_baseline", ("vs_baseline",)),
+    ("turbo_audio_s_per_s", ("offline_turbo_audio_s_per_s",)),
+    ("achieved_tflops", ("achieved_tflops",)),
+    ("mfu_vs_bf16_peak", ("mfu_vs_bf16_peak",)),
+    ("stage_split_ms", ("stage_split_ms",)),
+    ("host_io_audio_s_per_s", ("with_host_io_audio_s_per_s",)),
+    ("enhancement_audio_s_per_s", ("enhancement_audio_s_per_s",)),
+    ("quality_min_snr_db", ("quality_min_snr_vs_numpy_oracle_db",)),
+    ("parity_mode_snr_db", ("quality_parity_mode_snr_db",)),
+    ("quality_min_pesq", ("quality_min_pesq_vs_numpy_oracle",)),
+    ("streaming_device_ms", ("streaming_device_ms_per_block",)),
+    ("streaming_p50_ms", ("streaming_p50_block_latency_ms",)),
+    ("low_latency_algo_ms", ("low_latency", "algorithmic_latency_ms")),
+    ("low_latency_device_ms", ("low_latency", "device_ms_per_block")),
+    ("six_wav_min_snr_db", ("quality_six_wav", "min_snr_db")),
+    ("six_wav_min_pesq", ("quality_six_wav", "min_pesq")),
+    ("streamed_60min_audio_s_per_s", ("streamed_60min", "audio_s_per_s")),
+    ("serving_streams_p99", (
+        "serving_capacity", "max_streams_meeting_deadline_at_p99")),
+    ("batch", ("batch",)),
+    ("git_sha", ("stamp", "git_sha")),
+)
+
+
+def headline_summary(result: dict) -> dict:
+    """The compact FINAL-stdout-line dict: the headline metrics flattened
+    out of the full result, hard-capped at ``_HEADLINE_MAX_BYTES`` once
+    JSON-encoded (the driver records only a ~4 KB stdout tail — round 4's
+    single giant line lost its own head to that window).
+
+    Pure function of the result dict so the size invariant is testable
+    without running the bench.  If trimming is ever needed, keys are
+    dropped from the END of ``_HEADLINE_KEYS`` (provenance trims last-ish,
+    metric/value/vs_baseline never trim)."""
+    out = {"full": "docs/bench_full.json"}
+    for name, path in _HEADLINE_KEYS:
+        node = result
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                node = None
+                break
+            node = node[k]
+        if node is not None:
+            out[name] = node
+    while (
+        len(json.dumps(out)) > _HEADLINE_MAX_BYTES
+        and len(out) > 4
+    ):
+        for name, _ in reversed(_HEADLINE_KEYS):
+            if name in out and name not in ("metric", "value", "unit",
+                                            "vs_baseline"):
+                del out[name]
+                break
+        else:
+            break
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small config smoke run")
@@ -854,7 +926,25 @@ def main():
             }
         except Exception as e:
             print(f"# six-wav parity artifact unreadable: {e}", file=sys.stderr)
+
+    from gccnmf_tpu.utils.stamp import config_fingerprint, run_stamp
+
+    result["stamp"] = run_stamp(config_fingerprint=config_fingerprint(_cfg))
+    # full result: committed artifact + an EARLIER stdout line (the driver
+    # keeps only a ~4 KB tail, so this line may be truncated there — the
+    # file is the durable copy)
+    full_path = os.path.join(docs_dir, "bench_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except Exception as e:
+        print(f"# bench_full.json write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+    sys.stdout.flush()
+    # FINAL line: the compact driver-parseable headline (< 2 KB, gated by
+    # tests/test_bench_models.py)
+    print(json.dumps(headline_summary(result)))
 
 
 if __name__ == "__main__":

@@ -183,6 +183,9 @@ def main():
         summary={str(n): _mins(n) for n in args.iters},
         wavs=wavs,
     )
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    result["stamp"] = run_stamp()
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")

@@ -173,6 +173,9 @@ def main():
     ap.add_argument("--out", default=_OUT)
     args = ap.parse_args()
     result = run_study(quick=args.quick)
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    result["stamp"] = run_stamp()
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")

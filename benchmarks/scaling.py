@@ -227,6 +227,13 @@ def bench_dp_scaling(args, virtual=False):
 
 def main():
     args = _parse_args()
+    # provenance row first (the sweeps are redirected into
+    # docs/scaling/*.jsonl — a leading {"mode": "stamp", ...} row makes
+    # every sweep file self-attributing; rows keep their "mode" key so
+    # existing filters skip it)
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    print(json.dumps(dict(mode="stamp", **run_stamp())))
     if args.virtual_devices:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")

@@ -223,6 +223,9 @@ def main():
         tenancies=rows,
         depth_sweep=depth_rows,
     )
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    result["stamp"] = run_stamp()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)

@@ -239,6 +239,9 @@ def main():
         backend=jax.default_backend(),
         device=str(jax.devices()[0]),
     )
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    out["stamp"] = run_stamp()
     print(json.dumps(out))
     if args.save:
         with open(args.save, "w") as fh:

@@ -95,6 +95,9 @@ def main():
     out["download_mb_each"] = 12.0
     out["downloads_anon_growth_mib"] = round(anon_mib() - a3, 1)
 
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    out["stamp"] = run_stamp()
     print(json.dumps(out))
 
 

@@ -80,6 +80,9 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "turbo_equivalence.json",
     )
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    results["stamp"] = run_stamp()
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(dict(saved=out_path)))
