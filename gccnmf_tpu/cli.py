@@ -125,7 +125,14 @@ def separate_main(argv=None):
         else:
             prefix = args.output_prefix
         if args.streamed:
-            stereo, sr = None, wav.WavReader(path).sample_rate
+            reader = wav.WavReader(path)
+            stereo, sr = None, reader.sample_rate
+            if reader.num_channels != 2:  # same contract as _require_stereo
+                raise SystemExit(
+                    f"{path}: expected 2-channel audio, got "
+                    f"{reader.num_channels} channel(s). GCC-PHAT "
+                    "localization needs a stereo microphone pair."
+                )
         else:
             stereo, sr = wav.read_wav(path)
             _require_stereo(stereo, path)

@@ -284,8 +284,14 @@ GCCNMF_EXPORT void gccnmf_ola_emit_block(const GccnmfOla* o, float* out) {
 // tolerated, like the reference's unlocked telemetry reads).
 // --------------------------------------------------------------------------
 
+// values are atomic<double> (lock-free 8-byte loads/stores on x86-64 and
+// aarch64) so cross-thread stats/snapshot reads are formally race-free:
+// relaxed ordering everywhere — a reader may still see a mid-update MIX of
+// old and new entries (that tearing-at-the-window level is the accepted
+// contract, as in the reference's unlocked telemetry), but each individual
+// load is now a well-defined double, not UB.
 struct GccnmfTimes {
-    double* values;
+    std::atomic<double>* values;
     int64_t capacity;
     std::atomic<int64_t> count{0};
 };
@@ -293,11 +299,13 @@ struct GccnmfTimes {
 GCCNMF_EXPORT GccnmfTimes* gccnmf_times_create(int64_t capacity) {
     GccnmfTimes* t = new (std::nothrow) GccnmfTimes();
     if (!t) return nullptr;
-    t->values = new (std::nothrow) double[capacity]();
+    t->values = new (std::nothrow) std::atomic<double>[capacity];
     if (!t->values) {
         delete t;
         return nullptr;
     }
+    for (int64_t i = 0; i < capacity; ++i)
+        t->values[i].store(0.0, std::memory_order_relaxed);
     t->capacity = capacity;
     return t;
 }
@@ -310,7 +318,7 @@ GCCNMF_EXPORT void gccnmf_times_destroy(GccnmfTimes* t) {
 
 GCCNMF_EXPORT void gccnmf_times_record(GccnmfTimes* t, double seconds) {
     int64_t c = t->count.load(std::memory_order_relaxed);
-    t->values[c % t->capacity] = seconds;
+    t->values[c % t->capacity].store(seconds, std::memory_order_relaxed);
     t->count.store(c + 1, std::memory_order_release);
 }
 
@@ -323,9 +331,10 @@ GCCNMF_EXPORT void gccnmf_times_stats(const GccnmfTimes* t, double* out) {
         out[3] = 0.0;
         return;
     }
-    double mn = t->values[0], mx = t->values[0], sum = 0.0;
+    double first = t->values[0].load(std::memory_order_relaxed);
+    double mn = first, mx = first, sum = 0.0;
     for (int64_t i = 0; i < held; ++i) {
-        double v = t->values[i];
+        double v = t->values[i].load(std::memory_order_relaxed);
         if (v < mn) mn = v;
         if (v > mx) mx = v;
         sum += v;
@@ -338,13 +347,15 @@ GCCNMF_EXPORT void gccnmf_times_stats(const GccnmfTimes* t, double* out) {
 
 // Copies the held window (unordered) into out[0..max_n); returns how many
 // values were written. Percentile math stays host-side — the window is
-// small and the copy is tearing-tolerant like gccnmf_times_stats.
+// small; window-level mixing of old/new entries is tolerated like
+// gccnmf_times_stats, but every load is an atomic (race-free) read.
 GCCNMF_EXPORT int64_t gccnmf_times_snapshot(const GccnmfTimes* t, double* out,
                                             int64_t max_n) {
     int64_t c = t->count.load(std::memory_order_acquire);
     int64_t held = c < t->capacity ? c : t->capacity;
     if (held > max_n) held = max_n;
-    for (int64_t i = 0; i < held; ++i) out[i] = t->values[i];
+    for (int64_t i = 0; i < held; ++i)
+        out[i] = t->values[i].load(std::memory_order_relaxed);
     return held;
 }
 

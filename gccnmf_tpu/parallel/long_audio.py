@@ -212,12 +212,13 @@ class LongAudioSeparator:
         if self.nmf_init == "device":
             # zero-upload H0 (see _h0_device_chunked): drawn sharded
             # directly in the interleaved row order — any deterministic
-            # order is equivalent since this is never the parity path
-            np.random.seed(0)
+            # order is equivalent since this is never the parity path.
+            # Private RandomState: same MT19937 stream as seed(0) without
+            # reseeding the caller's global NumPy RNG as a side effect.
             w0 = (
-                np.random.random((cfg.num_freq, cfg.dictionary_size)).astype(
-                    np.float32
-                )
+                np.random.RandomState(0)
+                .random_sample((cfg.num_freq, cfg.dictionary_size))
+                .astype(np.float32)
                 + cfg.epsilon
             )
             h0_sharding = NamedSharding(self.mesh, P("data", None))

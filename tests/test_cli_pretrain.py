@@ -110,6 +110,11 @@ class TestCLI:
         with pytest.raises(SystemExit, match="stereo"):
             stream_main(["-i", mono, "-o", str(tmp_path / "o.wav"),
                          "--dictionary-file", "nonexistent.npy"])
+        # the disk-streamed branch never loads the waveform up front, so
+        # it must apply the same guard via the WAV header (ADVICE r4)
+        with pytest.raises(SystemExit, match="stereo"):
+            separate_main([mono, "--streamed", "--num-iterations", "2",
+                           "--dictionary-size", "8", "--num-sources", "1"])
 
     def test_separate_cli(self, wav_file, tmp_path, capsys):
         from gccnmf_tpu import cli
