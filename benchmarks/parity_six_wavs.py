@@ -90,6 +90,40 @@ def _compare(ref: dict, got: dict, sr: int) -> dict:
             print(f"#   pesq failed source {i}: {e}", file=sys.stderr)
             pesqs.append(None)
     out["pesq"] = pesqs
+
+    # --- attribution-argmax disagreement (VERDICT r4 #6) ------------------
+    # The suspected mechanism behind the throughput-mode SNR floor is the
+    # per-(frame, atom) target argmax flipping at near-ties between
+    # adjacent TDOAs (the same mechanism documented for turbo in
+    # docs/turbo_equivalence.json). Count the actual flips and record the
+    # oracle's own score margin at flipped vs unflipped cells: if flips
+    # concentrate where the oracle margin is ~0, the floor is tie-breaking,
+    # not numeric drift.
+    if "coefficient_masks" in got and "scores" in ref:
+        tpu_w = np.argmax(np.asarray(got["coefficient_masks"]), axis=0)  # (T, K)
+        scores = np.asarray(ref["scores"])  # (N, K, T)
+        orc_w = np.nanargmax(scores, axis=0).T  # (T, K)
+        diff = tpu_w != orc_w
+        st = np.sort(np.nan_to_num(scores, nan=-np.inf), axis=0)
+        rel_margin = (
+            (st[-1] - st[-2]) / (np.abs(st[-1]) + 1e-12)
+        ).T  # (T, K): top-two relative score gap per cell
+        out["attribution_cells"] = int(diff.size)
+        out["attribution_flips"] = int(diff.sum())
+        out["attribution_flip_pct"] = round(100.0 * diff.mean(), 3)
+        flips, agrees = rel_margin[diff], rel_margin[~diff]
+        out["flip_median_rel_margin"] = (
+            float(np.median(flips)) if flips.size else None
+        )
+        out["agree_median_rel_margin"] = (
+            float(np.median(agrees)) if agrees.size else None
+        )
+        # how much of the flipped mass sits below the agree-side median
+        # margin (1.0 => every flip is a nearer tie than a typical cell)
+        if flips.size and agrees.size:
+            out["flips_below_agree_median_pct"] = round(
+                100.0 * float((flips < np.median(agrees)).mean()), 1
+            )
     return out
 
 
@@ -147,12 +181,26 @@ def run_study(quick: bool = False, wav_paths=None) -> dict:
         vals = {"localization_match_all": loc_ok}
         for key in ("snr_db", "bss_sdr_db", "pesq"):
             per = [
-                v
+                (v, n, i)
                 for n in wavs
-                for v in wavs[n][mode].get(key, [])
+                for i, v in enumerate(wavs[n][mode].get(key, []))
                 if v is not None
             ]
-            vals[f"min_{key}"] = min(per) if per else None
+            if not per:
+                vals[f"min_{key}"] = None
+                continue
+            v, n, i = min(per)
+            vals[f"min_{key}"] = v
+            # name the binding (file, source) so the floor is attributable
+            # from the summary alone (VERDICT r4 #6)
+            vals[f"min_{key}_at"] = {"wav": n, "source": i}
+        flips = [
+            wavs[n][mode].get("attribution_flip_pct")
+            for n in wavs
+            if wavs[n][mode].get("attribution_flip_pct") is not None
+        ]
+        if flips:
+            vals["max_attribution_flip_pct"] = max(flips)
         return vals
 
     return {
