@@ -119,6 +119,105 @@ class MemSampler:
         return False
 
 
+def _recycle_supervisor(args):
+    """Serialize one fresh subprocess per repeat (the tunnel is
+    single-client, so children must never overlap). The parent imports no
+    JAX — it owns nothing that can retain transfer buffers — and each
+    child's retention dies with the child: peak anon is flat across
+    repeats by construction. The per-repeat process cost (backend init +
+    persistent-compile-cache load) is measured and published, not hidden."""
+    import subprocess
+    import tempfile
+
+    # synthesize once here so children skip it (they see the file)
+    if not os.path.exists(args.wav):
+        print(f"# synthesizing {args.minutes:.0f} min WAV ...", file=sys.stderr)
+        synthesize_wav(args.wav, args.minutes)
+
+    child_results = []
+    wall_times = []
+    for i in range(max(1, args.repeats)):
+        with tempfile.NamedTemporaryFile(
+            suffix=".json", delete=False
+        ) as tf:
+            child_out = tf.name
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--minutes", str(args.minutes),
+            "--shards", str(args.shards),
+            "--chunk-frames", str(args.chunk_frames),
+            "--repeats", "1",
+            "--num-iterations", str(args.num_iterations),
+            "--dictionary-size", str(args.dictionary_size),
+            "--wav", args.wav,
+            "--out-prefix", args.out_prefix,
+            "--save", child_out,
+        ]
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, stdout=subprocess.DEVNULL)
+        wall_times.append(round(time.perf_counter() - t0, 1))
+        if proc.returncode != 0:
+            raise SystemExit(f"repeat {i}: child failed rc={proc.returncode}")
+        with open(child_out) as fh:
+            child_results.append(json.load(fh))
+        os.unlink(child_out)
+        print(
+            f"# repeat {i}: {child_results[-1]['elapsed_s']} s compute, "
+            f"{wall_times[-1]} s wall, peak anon "
+            f"{child_results[-1]['peak_anon_mib']} MiB",
+            file=sys.stderr,
+        )
+
+    repeats = [c["elapsed_s"] for c in child_results]
+    elapsed = float(np.median(repeats))
+    audio_s = args.minutes * 60
+    out = dict(
+        minutes=args.minutes,
+        mode="recycle_per_repeat",
+        input_mb=child_results[0]["input_mb"],
+        shards=child_results[0]["shards"],
+        chunk_frames=args.chunk_frames,
+        elapsed_s=elapsed,
+        elapsed_statistic="median",
+        elapsed_repeats_s=repeats,
+        audio_s_per_s=round(audio_s / elapsed, 1),
+        audio_s_per_s_best=round(audio_s / min(repeats), 1),
+        # flat by construction: each repeat's transport retention dies
+        # with its process — this is THE bounded operating mode for
+        # repeat-style hour-scale workloads on this harness
+        peak_anon_per_repeat_mib=[c["peak_anon_mib"] for c in child_results],
+        anon_after_each_repeat_mib=[
+            c["anon_after_each_repeat_mib"][-1] for c in child_results
+        ],
+        peak_file_backed_mib=max(
+            c["peak_file_backed_mib"] for c in child_results
+        ),
+        # process-recycle price: wall time minus in-process compute =
+        # interpreter + backend init + compile-cache load per pass
+        wall_per_repeat_s=wall_times,
+        recycle_overhead_s=[
+            round(w - c["elapsed_s"], 1)
+            for w, c in zip(wall_times, child_results)
+        ],
+        samples_written=child_results[-1]["samples_written"],
+        outputs=child_results[-1]["outputs"],
+        stage_seconds_per_repeat=[
+            c.get("stage_seconds") for c in child_results
+        ],
+        transfer_mb=child_results[-1].get("transfer_mb"),
+        backend=child_results[-1]["backend"],
+        device=child_results[-1]["device"],
+    )
+    from gccnmf_tpu.utils.stamp import run_stamp
+
+    out["stamp"] = run_stamp()
+    print(json.dumps(out))
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=60.0)
@@ -134,7 +233,18 @@ def main():
     ap.add_argument("--out-prefix", default="/tmp/streamed_bench_out")
     ap.add_argument("--save", default=None,
                     help="write the result JSON here (e.g. docs/streamed_60min.json)")
+    ap.add_argument("--recycle-per-repeat", action="store_true",
+                    help="run each repeat in a fresh subprocess (the "
+                         "worker-recycle mitigation for the tunnel "
+                         "client's process-lifetime staging retention, "
+                         "docs/tunnel_probe.json). Anon memory is flat "
+                         "per repeat by construction; the measured cost "
+                         "is one backend init + compile-cache warm per "
+                         "pass, reported as recycle_overhead_s.")
     args = ap.parse_args()
+
+    if args.recycle_per_repeat:
+        return _recycle_supervisor(args)
 
     # Synthesize ONLY when the file is missing — never overwrite an
     # existing path (it may be the user's real recording). A stale
@@ -236,6 +346,11 @@ def main():
         baseline_anon_mib=round(base.get("RssAnon", 0) / 1024, 1),
         samples_written=int(result.get("samples_written", 0)),
         outputs=[str(p) for p in result.get("paths", [])],
+        # phase attribution (last repeat): where an hour of ingest goes —
+        # async dispatch vs upload fence vs NMF+recon vs download drain
+        stage_seconds=result.get("stage_seconds"),
+        transfer_mb=result.get("transfer_mb"),
+        host_heap_trims=result.get("host_heap_trims"),
         backend=jax.default_backend(),
         device=str(jax.devices()[0]),
     )

@@ -79,6 +79,71 @@ def main():
         growth * 1024 * 1024 / (n_up * buf.nbytes), 2
     )
 
+    # 2b) mitigation probe (VERDICT r4 #2): is the retained upload memory
+    # a truly-live leak, or freed-but-hoarded glibc heap? malloc_trim(0)
+    # walks the arenas and returns free chunks to the kernel — if anon
+    # drops back after trim, the fix is a periodic trim in long-lived
+    # streaming loops (gccnmf_tpu.utils.hostmem), not a client recycle.
+    from gccnmf_tpu.utils.hostmem import trim_host_heap
+
+    trimmed = trim_host_heap()
+    out["malloc_trim_supported"] = trimmed
+    out["anon_after_trim_mib"] = round(anon_mib(), 1)
+    out["trim_reclaimed_mib"] = round(a2 + growth - anon_mib(), 1)
+
+    # 2c) upload loop again WITH trim every 8 uploads: does anon plateau?
+    a2b = anon_mib()
+    peak = a2b
+    for i in range(n_up):
+        float(up(buf))
+        if (i + 1) % 8 == 0:
+            trim_host_heap()
+            peak = max(peak, anon_mib())
+    trim_host_heap()
+    out["uploads_with_trim_anon_growth_mib"] = round(anon_mib() - a2b, 1)
+    out["uploads_with_trim_peak_growth_mib"] = round(peak - a2b, 1)
+
+    # 2d) where does the retained memory live? Diff /proc/self/smaps
+    # around another upload burst: glibc heap ([heap]/sbrk) vs anonymous
+    # mmap regions (a C++ allocator or the transport's own mappings).
+    def smaps_anon() -> dict:
+        heap = mmap_anon = 0
+        try:
+            with open("/proc/self/smaps") as fh:
+                name = ""
+                for line in fh:
+                    if line[0].isdigit() or line[0] in "abcdef":
+                        parts = line.split()
+                        name = parts[-1] if len(parts) >= 6 else ""
+                    elif line.startswith("Rss:"):
+                        kb = int(line.split()[1])
+                        if name == "[heap]":
+                            heap += kb
+                        elif name == "":
+                            mmap_anon += kb
+        except Exception:
+            pass
+        return {"heap_mib": heap / 1024, "anon_mmap_mib": mmap_anon / 1024}
+
+    s0 = smaps_anon()
+    for _ in range(25):
+        float(up(buf))
+    s1 = smaps_anon()
+    out["burst_heap_growth_mib"] = round(s1["heap_mib"] - s0["heap_mib"], 1)
+    out["burst_anon_mmap_growth_mib"] = round(
+        s1["anon_mmap_mib"] - s0["anon_mmap_mib"], 1
+    )
+
+    # 2e) explicit lifecycle: device_put + .delete() every iteration —
+    # does eagerly destroying the device buffer release the host staging?
+    a2c = anon_mib()
+    for _ in range(25):
+        arr = jax.device_put(buf)
+        float(up(arr))
+        arr.delete()
+    trim_host_heap()
+    out["uploads_explicit_delete_growth_mib"] = round(anon_mib() - a2c, 1)
+
     # 3) download cleanliness: 50 × 12 MB int16 fetches
     down = jax.jit(
         lambda n: (jnp.arange(6_000_000, dtype=jnp.int32) % 32768).astype(

@@ -573,9 +573,18 @@ class GCCNMFSeparator:
                 )
             return init_cache[key]
 
+        # host-heap hygiene over long chunk streams: periodic malloc_trim
+        # bounds the loop's own allocator churn (the tunnel client's live
+        # staging retention is separate and process-lifetime —
+        # docs/tunnel_probe.json, utils/hostmem docstring)
+        from gccnmf_tpu.utils.hostmem import PeriodicTrim
+
+        trimmer = PeriodicTrim()
+
         def materialize(pending):
             est_dev, targets_dev = pending
             est = np.asarray(est_dev)
+            trimmer.account(est.nbytes)
             if io_dtype == "int16":
                 est = est.astype(np.float32) / 32768.0
             return est, np.asarray(targets_dev)
@@ -589,6 +598,7 @@ class GCCNMFSeparator:
                 ).astype(np.int16)
             w0b, h0b = inits(chunk.shape[0], chunk.shape[-1])
             dev_in = _jax.device_put(chunk)  # async upload
+            trimmer.account(chunk.nbytes)
             est, targets, _ = run(dev_in, w0b, h0b, num_sources)
             try:
                 est.copy_to_host_async()

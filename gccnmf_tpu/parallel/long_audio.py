@@ -560,6 +560,18 @@ class LongAudioSeparator:
         spec_im = jnp.zeros((2, t_total, f), plane)
         v_buf = jnp.zeros((2, t_total, f), jnp.float32)
         ang_dev = jnp.zeros(cfg.num_tdoas, jnp.float32)
+        # host-heap hygiene: periodic malloc_trim bounds the pipeline's
+        # OWN allocator churn (chunk buffers, writer FIFOs). The tunnel
+        # client's live 1-MiB-per-MiB-uploaded staging retention is NOT
+        # releasable from user code (docs/tunnel_probe.json) — that is
+        # watched, not trimmed (utils/hostmem.HostMemWatchdog)
+        from gccnmf_tpu.utils.hostmem import PeriodicTrim
+
+        import time as _time
+
+        trimmer = PeriodicTrim()
+        _t_start = _time.perf_counter()
+        _upload_bytes = 0
         for t0, tc in chunk_grid:
             n_chunk = (tc - 1) * hop + win_len
             samples = (
@@ -570,7 +582,11 @@ class LongAudioSeparator:
             spec_re, spec_im, v_buf, ang_dev = analyze(
                 spec_re, spec_im, v_buf, ang_dev, samples, t0
             )
-        ang_acc = np.asarray(ang_dev, np.float64)
+            trimmer.account(samples.nbytes)
+            _upload_bytes += samples.nbytes
+        _t_pass1_done = _time.perf_counter()
+        ang_acc = np.asarray(ang_dev, np.float64)  # fences pass-1 uploads
+        _t_pass1_fenced = _time.perf_counter()
 
         # ---- NMF over the device-resident V (reference row order
         # left‖right — the (2, T, F) → (2T, F) reshape is exactly that)
@@ -690,10 +706,17 @@ class LongAudioSeparator:
         inflight: list = []
         lead = half  # leading samples still to trim (may span chunks)
 
+        _t_first_output = [None]
+        _download_bytes = [0]
+
         def drain_one() -> None:
             nonlocal lead
             pcm_d, clips_d = inflight.pop(0)
             block = np.asarray(pcm_d)
+            if _t_first_output[0] is None:
+                _t_first_output[0] = _time.perf_counter()
+            _download_bytes[0] += block.nbytes
+            trimmer.account(block.nbytes)
             clip_owed[:n_targets] += np.asarray(clips_d, np.int64)
             drop = min(lead, block.shape[-1])
             if drop:
@@ -702,7 +725,12 @@ class LongAudioSeparator:
             if block.shape[-1]:
                 emit(block)
 
-        lookahead = 4
+        # 8 chunks in flight ≈ 100 MB of int16 PCM resident in HBM at the
+        # default chunk width — still O(chunk), and deep enough that the
+        # serial tunnel fetches (the pass-2 bottleneck at hour scale)
+        # stay overlapped with reconstruction compute even when the
+        # tunnel's bulk throughput dips (its measured swings are 2x+)
+        lookahead = 8
         for t0, tc in chunk_grid:
             recon = recon_cache.setdefault(tc, make_reconstruct(tc))
             pcm, clips, carry = recon(
@@ -737,6 +765,9 @@ class LongAudioSeparator:
                 )
                 clip_owed[n] = 0
         paths = [w_.close() for w_ in writers]
+        # leave the heap trimmed at exit so back-to-back runs in one
+        # process (the 60-minute bench's repeats) start from a flat floor
+        trimmer.account(trimmer.every_bytes)
         return dict(
             paths=paths,
             target_tdoa_indexes=targets,
@@ -744,6 +775,29 @@ class LongAudioSeparator:
             mean_angular_spectrum=mean_ang,
             frames_processed=t_total,
             samples_written=writers[0].samples_written if writers else 0,
+            host_heap_trims=trimmer.trims,
+            # phase attribution for the hour-scale throughput story
+            # (benchmarks/streamed_bench.py folds this into its artifact):
+            # dispatch = async pass-1 host loop; fence = waiting for the
+            # tunnel to finish those uploads; first_output includes the
+            # NMF (its dispatch chains straight into pass 2); drain = the
+            # download-bound tail of pass 2
+            stage_seconds=dict(
+                pass1_dispatch=round(_t_pass1_done - _t_start, 2),
+                pass1_upload_fence=round(_t_pass1_fenced - _t_pass1_done, 2),
+                nmf_to_first_output=round(
+                    (_t_first_output[0] or _t_pass1_fenced) - _t_pass1_fenced,
+                    2,
+                ),
+                output_drain=round(
+                    _time.perf_counter() - (_t_first_output[0] or _t_pass1_fenced),
+                    2,
+                ),
+            ),
+            transfer_mb=dict(
+                uploads=round(_upload_bytes / 1e6, 1),
+                downloads=round(_download_bytes[0] / 1e6, 1),
+            ),
         )
 
     def separate_file(

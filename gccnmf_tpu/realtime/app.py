@@ -106,6 +106,9 @@ class RealtimeGCCNMF:
         # per-block wall-time telemetry in the native tier (lock-free window
         # ring; reference logs the same min/avg/max, audioProcessor.py:98-102)
         self._block_times = native.BlockTimes(capacity=256)
+        from gccnmf_tpu.utils.hostmem import PeriodicTrim
+
+        self._heap_trimmer = PeriodicTrim()
         self._last_log = time.perf_counter()
 
         hist = cfg.num_tdoa_history
@@ -493,6 +496,12 @@ class RealtimeGCCNMF:
                 ready = out
         out_np = np.asarray(ready[0]) if ready is not None else None
         self._block_times.record(time.perf_counter() - t0)
+        # hour-scale sessions: trim the loop's own allocator churn; the
+        # transport's live staging retention (docs/tunnel_probe.json) is
+        # surfaced via the health line's memory watchdog instead
+        self._heap_trimmer.account(
+            block.nbytes + (out_np.nbytes if out_np is not None else 0)
+        )
         self._log_block_times()
         return out_np
 
@@ -601,12 +610,19 @@ class RealtimeGCCNMF:
             if output_stream is not None:
                 stream_out(out)
 
+        from gccnmf_tpu.utils.hostmem import HostMemWatchdog
+
         stats = dict(
             blocks=count,
             p50_ms=round(float(np.percentile(times, 50)) * 1e3, 3) if times else None,
             p99_ms=round(float(np.percentile(times, 99)) * 1e3, 3) if times else None,
             deadline_ms=round(deadline * 1e3, 3),
             deadline_misses=int(np.sum(np.asarray(times) > deadline)) if times else 0,
+            # transport staging retention grows for the process lifetime
+            # (docs/tunnel_probe.json); exceeded=True means recycle the
+            # worker before the host OOMs
+            host_mem=HostMemWatchdog(min_interval_s=0.0).check(),
+            host_heap_trims=self._heap_trimmer.trims,
         )
         if output_stream is not None:
             # the callback clock's verdict on the same run (live path)
