@@ -669,6 +669,8 @@ _HEADLINE_KEYS = (
     ("streamed_60min_audio_s_per_s", ("streamed_60min", "audio_s_per_s")),
     ("serving_streams_p99", (
         "serving_capacity", "max_streams_meeting_deadline_at_p99")),
+    ("serving_streams_async", (
+        "serving_capacity", "max_streams_async_within_latency_budget")),
     ("batch", ("batch",)),
     ("git_sha", ("stamp", "git_sha")),
 )
@@ -891,6 +893,7 @@ def main():
                 k: cap[k]
                 for k in (
                     "max_streams_meeting_deadline_at_p99",
+                    "max_streams_async_within_latency_budget",
                     "max_streams_at_p99_by_depth",
                     "max_streams_by_device_compute",
                     "deadline_ms",

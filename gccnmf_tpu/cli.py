@@ -546,10 +546,20 @@ def serve_main(argv=None):
     ap.add_argument("--dictionary-size", type=int, default=None)
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop each stream after N blocks")
-    ap.add_argument("--pipeline-depth", type=int, default=0,
+    ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="ticks of dispatch pipelining: N>0 moves the "
                          "host<->device round trip off the tick deadline "
-                         "path at the cost of N blocks of serving latency")
+                         "path at the cost of N blocks of serving latency. "
+                         "Default 2 — the measured operating point "
+                         "(docs/scaling/serving_capacity.json): with the "
+                         "async fetch thread it serves the deadline-safe "
+                         "tenancy at 2 blocks (64 ms) of added latency; "
+                         "0 restores strictly synchronous ticks")
+    ap.add_argument("--sync-fetch", action="store_true",
+                    help="block each tick on its due output instead of "
+                         "fetching on the consumer thread (diagnostic; "
+                         "the async default keeps transport latency "
+                         "spikes off the tick deadline path)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -576,6 +586,7 @@ def serve_main(argv=None):
     server = StreamServer(
         w, scfg, max_streams=args.max_streams or len(args.inputs),
         pipeline_depth=args.pipeline_depth,
+        async_fetch=not args.sync_fetch,
     )
 
     from gccnmf_tpu.serving import StreamSettings
@@ -625,6 +636,7 @@ def serve_main(argv=None):
         collect(server.process(subs))
     for tick_out in server.flush():
         collect(tick_out)
+    server.close()  # stop the async fetch worker (no-op in --sync-fetch)
 
     os.makedirs(args.output_dir, exist_ok=True)
     outputs = []

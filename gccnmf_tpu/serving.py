@@ -48,6 +48,70 @@ from gccnmf_tpu.models.realtime import (
 __all__ = ["StreamSettings", "StreamServer"]
 
 
+class _FetchWorker:
+    """Serial device→host fetcher on its own thread (async_fetch mode).
+
+    The tick's p99 killer is the blocking ``np.asarray`` of an inflight
+    output landing on a tunnel round-trip spike (measured 40–100 ms tails,
+    docs/scaling/serving_capacity.json). The worker moves that wait off
+    the tick thread: dispatches enqueue ``(device_out, submitted, t)``;
+    the worker fetches in FIFO order (the async D2H copy was already
+    started at dispatch, so a fetch is usually a no-wait handoff) and
+    parks completed results. ``take`` is non-blocking until the number of
+    outstanding ticks exceeds the pipeline depth — then it waits for the
+    OLDEST result only (bounded backpressure: a spike delays delivery,
+    never corrupts order, and the pipelined copies behind it complete
+    together)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._in: "queue.Queue" = queue.Queue()
+        self._done: "queue.Queue" = queue.Queue()
+        self.outstanding = 0  # accessed from the tick thread only
+        self._thread = threading.Thread(
+            target=self._run, name="gccnmf-serving-fetch", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                return
+            out, submitted, t_dispatch = item
+            out_np = np.asarray(out)  # waits on the transfer, not the GIL
+            self._done.put((out_np, submitted, t_dispatch, time.perf_counter()))
+
+    def submit(self, out, submitted: dict, t_dispatch: float) -> None:
+        self.outstanding += 1
+        self._in.put((out, submitted, t_dispatch))
+
+    def take(self, block: bool):
+        """Oldest completed (out_np, submitted, t_dispatch, t_done) or
+        None when nothing is ready and ``block`` is False."""
+        import queue
+
+        try:
+            item = self._done.get(block=block)
+        except queue.Empty:
+            return None
+        self.outstanding -= 1
+        return item
+
+    def drain(self) -> list:
+        """Wait for every outstanding tick (flush/teardown path)."""
+        items = []
+        while self.outstanding:
+            items.append(self.take(block=True))
+        return items
+
+    def stop(self) -> None:
+        self._in.put(None)
+        self._thread.join(timeout=5)
+
+
 @dataclass
 class StreamSettings:
     """Per-stream control settings (host-side; see StreamParams)."""
@@ -71,6 +135,7 @@ class StreamServer:
         max_streams: int = 8,
         mesh=None,
         pipeline_depth: int = 0,
+        async_fetch: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         the slot batch (state, params, blocks) is sharded across it, scaling
@@ -82,7 +147,17 @@ class StreamServer:
         the tick submitted N calls ago (empty dict while the pipeline
         fills; :meth:`flush` drains the tail) — the per-tick host↔device
         round trip moves off the tick deadline path for N blocks of extra
-        serving latency."""
+        serving latency.
+
+        ``async_fetch``: with ``pipeline_depth`` > 0, fetch inflight
+        outputs on a dedicated thread instead of blocking the tick: a
+        transport latency spike then delays that one delivery (bounded by
+        backpressure at ``pipeline_depth`` outstanding) instead of
+        stalling every tenant's tick. Delivery ordering is FIFO either
+        way; ``tick_stats()['delivery_ms']`` reports dispatch→delivery
+        latency in async mode. This is the recommended production
+        configuration (``gccnmf-serve`` defaults to depth 2 + async;
+        measured capacity: docs/scaling/serving_capacity.json)."""
         self.processor = RTGCCNMFProcessor(w, config)
         self.config = config
         self.max_streams = max_streams
@@ -116,6 +191,9 @@ class StreamServer:
         self.pipeline_depth = pipeline_depth
         # (device_out, {stream_id: slot} at dispatch time) awaiting fetch
         self._inflight: list = []
+        self._fetcher = (
+            _FetchWorker() if (async_fetch and pipeline_depth > 0) else None
+        )
         # per-tick deadline accounting on the serving clock: every tick
         # must complete within one block interval or every tenant glitches
         # at once (the single-stream analogue is run()'s deadline_misses,
@@ -126,6 +204,12 @@ class StreamServer:
 
         self.deadline_s = config.block_size / config.sample_rate
         self._tick_times = native.BlockTimes(capacity=1024)
+        # async_fetch: dispatch→delivery latency of each returned tick
+        self._delivery_times = native.BlockTimes(capacity=1024)
+        from gccnmf_tpu.utils.hostmem import HostMemWatchdog, PeriodicTrim
+
+        self._heap_trimmer = PeriodicTrim()
+        self._mem_watchdog = HostMemWatchdog()
         self.ticks = 0
         self.deadline_misses = 0
 
@@ -275,6 +359,24 @@ class StreamServer:
             # ids are recorded at dispatch time: a stream closed (or its
             # slot re-tenanted) before its output surfaces still gets its
             # own audio back
+            if self._fetcher is not None:
+                self._fetcher.submit(
+                    out, {s: self._ids[s] for s in blocks}, t0
+                )
+                item = self._fetcher.take(
+                    block=self._fetcher.outstanding > self.pipeline_depth
+                )
+                if item is None:
+                    self._record_tick(t0)
+                    return {}
+                out_np, submitted, t_dispatch, t_done = item
+                self._delivery_times.record(t_done - t_dispatch)
+                result = {
+                    sid: out_np[slot] for sid, slot in submitted.items()
+                }
+                self._heap_trimmer.account(batch.nbytes + out_np.nbytes)
+                self._record_tick(t0)
+                return result
             self._inflight.append((out, {s: self._ids[s] for s in blocks}))
             if len(self._inflight) <= self.pipeline_depth:
                 self._record_tick(t0)
@@ -284,6 +386,10 @@ class StreamServer:
             submitted = {s: self._ids[s] for s in blocks}
         out_np = np.asarray(out)
         result = {sid: out_np[slot] for sid, slot in submitted.items()}
+        # days-long serving: trim the server's own allocator churn every
+        # ~256 MB of traffic; the transport's live staging retention is
+        # reported via tick_stats' host_mem watchdog (docs/tunnel_probe.json)
+        self._heap_trimmer.account(batch.nbytes + out_np.nbytes)
         self._record_tick(t0)
         return result
 
@@ -323,15 +429,54 @@ class StreamServer:
                 max=round(mx * 1e3, 3),
                 window=int(window.size),
             ),
+            # the tunnel transport retains ~1 MiB of live host heap per
+            # MiB uploaded for the life of the process (un-releasable
+            # from user code — docs/tunnel_probe.json); exceeded=True is
+            # the deployment signal to recycle this worker
+            host_mem=self._mem_watchdog.check(),
+            host_heap_trims=self._heap_trimmer.trims,
+            # async_fetch mode: dispatch→delivery latency of returned
+            # ticks — the deployment metric once the blocking fetch is
+            # off the tick path (tick_ms then measures only dispatch)
+            delivery_ms=self._delivery_stats(),
+        )
+
+    def _delivery_stats(self) -> dict | None:
+        window = self._delivery_times.snapshot()
+        if not window.size:
+            return None
+        p50, p99 = (float(np.percentile(window, q)) for q in (50.0, 99.0))
+        return dict(
+            p50=round(p50 * 1e3, 3),
+            p99=round(p99 * 1e3, 3),
+            max=round(float(window.max()) * 1e3, 3),
+            window=int(window.size),
         )
 
     def flush(self) -> list[dict[int, np.ndarray]]:
         """Drain pipelined ticks (oldest first) after the last submit."""
+        if self._fetcher is not None:
+            items = self._fetcher.drain()
+            for _, _, t_dispatch, t_done in items:
+                self._delivery_times.record(t_done - t_dispatch)
+            return [
+                {sid: out_np[slot] for sid, slot in submitted.items()}
+                for out_np, submitted, _, _ in items
+            ]
         pending, self._inflight = self._inflight, []
         return [
             {sid: np.asarray(out)[slot] for sid, slot in submitted.items()}
             for out, submitted in pending
         ]
+
+    def close(self) -> None:
+        """Stop the async fetch worker (drains outstanding ticks first).
+        Idempotent; only needed in async_fetch mode — the worker is a
+        daemon thread, so process exit never hangs on it either way."""
+        if self._fetcher is not None:
+            self._fetcher.drain()
+            self._fetcher.stop()
+            self._fetcher = None
 
     @property
     def telemetry(self) -> dict[int, dict]:

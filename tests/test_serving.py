@@ -273,6 +273,53 @@ def test_pipelined_matches_unpipelined(w, cfg):
         np.testing.assert_allclose(g, e, atol=1e-6)
 
 
+def test_async_fetch_matches_sync_pipeline(w, cfg):
+    """async_fetch (round 5: the fetch thread that takes the blocking
+    device→host wait off the tick path) must deliver exactly the same
+    per-stream audio in the same order as the sync pipelined server —
+    only arrival timing may differ — and report delivery latency."""
+    srv0 = StreamServer(w, cfg, max_streams=4)
+    srva = StreamServer(
+        w, cfg, max_streams=4, pipeline_depth=2, async_fetch=True
+    )
+    sid0 = srv0.open_stream()
+    sida = srva.open_stream()
+    blocks = _signal(3, 10, cfg)
+
+    expected = [srv0.process({sid0: b})[sid0] for b in blocks]
+    got = []
+    for b in blocks:
+        out = srva.process({sida: b})
+        if out:
+            got.append(out[sida])
+    for tail in srva.flush():
+        got.append(tail[sida])
+    assert len(got) == 10
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=1e-6)
+    st = srva.tick_stats()
+    assert st["delivery_ms"] is not None
+    assert st["delivery_ms"]["window"] >= 8
+    assert st["delivery_ms"]["p99"] >= st["delivery_ms"]["p50"] > 0
+    srva.close()
+    srva.close()  # idempotent
+
+
+def test_async_fetch_backpressure_bounds_outstanding(w, cfg):
+    """Outstanding ticks must never exceed pipeline_depth + 1 (the take
+    blocks on the oldest) — the latency bound of the async path."""
+    srv = StreamServer(
+        w, cfg, max_streams=1, pipeline_depth=2, async_fetch=True
+    )
+    sid = srv.open_stream()
+    blocks = _signal(5, 12, cfg)
+    for b in blocks:
+        srv.process({sid: b})
+        assert srv._fetcher.outstanding <= 3
+    srv.close()
+    assert srv._fetcher is None
+
+
 def test_pipelined_close_still_returns_inflight_output(w, cfg):
     """A stream closed (and its slot re-tenanted) while its tick is still
     in the pipeline must get its own audio back, not the new tenant's."""
@@ -349,6 +396,13 @@ def test_tick_stats_and_deadline_accounting(w, cfg):
     srv.deadline_s = 0.0
     srv.process({sid: blocks[0]})
     assert srv.deadline_misses >= 1 and srv.ticks == 5
+    # host-memory watchdog (round 5): the tunnel transport retains live
+    # staging heap for the process lifetime, so days-long serving must
+    # surface anon-vs-budget in its telemetry (docs/tunnel_probe.json)
+    hm = st["host_mem"]
+    assert set(hm) == {"anon_mib", "budget_mib", "exceeded"}
+    assert hm["anon_mib"] > 0 and hm["exceeded"] is False
+    assert st["host_heap_trims"] >= 0
 
 
 def test_soak_open_close_churn_under_pipelining(w, cfg):
