@@ -936,7 +936,12 @@ def main():
     # full result: committed artifact + an EARLIER stdout line (the driver
     # keeps only a ~4 KB tail, so this line may be truncated there — the
     # file is the durable copy)
-    full_path = os.path.join(docs_dir, "bench_full.json")
+    # GCCNMF_BENCH_FULL_OUT redirects the full-result artifact (used by
+    # benchmarks/run_all.py --quick so a smoke run cannot overwrite the
+    # committed full-scale docs/bench_full.json)
+    full_path = os.environ.get("GCCNMF_BENCH_FULL_OUT") or os.path.join(
+        docs_dir, "bench_full.json"
+    )
     try:
         with open(full_path, "w") as fh:
             json.dump(result, fh, indent=1)

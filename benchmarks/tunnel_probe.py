@@ -44,6 +44,14 @@ def anon_mib() -> float:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save", default=None,
+                    help="also write the result JSON here "
+                         "(run_all.py passes docs/tunnel_probe.json)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -164,6 +172,10 @@ def main():
 
     out["stamp"] = run_stamp()
     print(json.dumps(out))
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
 
 
 if __name__ == "__main__":

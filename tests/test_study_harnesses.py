@@ -138,3 +138,49 @@ class TestCapacitySweep:
         assert row["pipeline_depth"] == 0
         row = capacity.sweep_one(1, ticks=4, warmup=1, pipeline_depth=4)
         assert row["pipeline_depth"] == 4
+
+
+class TestRunAll:
+    """benchmarks/run_all.py — the one-command evidence regeneration
+    (VERDICT r4 #8). These pin the step table against the repo: every
+    producer path must exist, quick mode must never write into docs/."""
+
+    @pytest.fixture(scope="class")
+    def runall(self):
+        return _load(
+            os.path.join(_ROOT, "benchmarks", "run_all.py"), "runall_mod"
+        )
+
+    def test_every_step_script_exists(self, runall):
+        for name, argv, _quick, _env in runall.STEPS:
+            assert os.path.exists(argv[1]), (name, argv[1])
+
+    def test_quick_outputs_never_land_in_docs(self, runall):
+        """A --quick smoke must redirect every artifact write away from
+        docs/ (committed full-scale artifacts stay intact)."""
+        for name, argv, quick, env in runall.STEPS:
+            if quick is None:
+                continue
+            full = argv + quick  # last --out/--save wins in argparse
+            for flag in ("--out", "--save"):
+                if flag in full:
+                    dest = full[len(full) - 1 - full[::-1].index(flag) + 1]
+                    assert "/docs/" not in dest, (name, dest)
+            for v in (env or {}).values():
+                assert "/docs/" not in v, (name, v)
+
+    def test_step_names_cover_evidence_index(self, runall):
+        names = {s[0] for s in runall.STEPS}
+        # every producer EVIDENCE.md names must be runnable through run_all
+        for expected in ("bench", "six_wavs", "serving", "streamed_60min",
+                         "tunnel_probe", "iterations_quality",
+                         "turbo_equivalence", "batch_sweep", "collectives",
+                         "pesq_curves"):
+            assert expected in names, expected
+
+    def test_unknown_step_rejected(self, runall, monkeypatch, capsys):
+        import sys as _sys
+
+        monkeypatch.setattr(_sys, "argv", ["run_all.py", "--only", "nope"])
+        with pytest.raises(SystemExit):
+            runall.main()
