@@ -31,6 +31,7 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _OUT = os.path.join(_REPO, "docs", "scaling", "serving_capacity.json")
 
 TENANCIES = (1, 8, 32, 64, 128)
@@ -189,6 +190,13 @@ def main():
     args = ap.parse_args()
 
     jax = _setup_jax()
+    # link health bracket: this sweep is transfer-bound through the
+    # tunnel, whose bulk rate swings by integer factors between minutes —
+    # a degraded-window run must be attributable from the artifact alone
+    from linkprobe import measure_link_mb_s
+
+    link_before = measure_link_mb_s()
+    print(f"# link before: {json.dumps(link_before)}", file=sys.stderr)
     headline_depth = args.depths[0]
     rows = []
     depth_rows = []
@@ -267,6 +275,7 @@ def main():
         tenancies=rows,
         depth_sweep=depth_rows,
         async_sweep=async_rows,
+        link_probe=dict(before=link_before, after=measure_link_mb_s()),
     )
     from gccnmf_tpu.utils.stamp import run_stamp
 

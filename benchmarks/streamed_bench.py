@@ -193,7 +193,10 @@ def _recycle_supervisor(args):
             c["peak_file_backed_mib"] for c in child_results
         ),
         # process-recycle price: wall time minus in-process compute =
-        # interpreter + backend init + compile-cache load per pass
+        # interpreter + backend init + compile-cache load + the ~96 MB
+        # link probe, per pass (axon init alone is documented 0.1 s–7 min
+        # variable, so this is dominated by harness init, not the recycle
+        # pattern itself)
         wall_per_repeat_s=wall_times,
         recycle_overhead_s=[
             round(w - c["elapsed_s"], 1)
@@ -203,6 +206,10 @@ def _recycle_supervisor(args):
         outputs=child_results[-1]["outputs"],
         stage_seconds_per_repeat=[
             c.get("stage_seconds") for c in child_results
+        ],
+        link_probe_per_repeat=[
+            (c.get("link_probe_per_repeat") or [None])[0]
+            for c in child_results
         ],
         transfer_mb=child_results[-1].get("transfer_mb"),
         backend=child_results[-1]["backend"],
@@ -216,6 +223,10 @@ def _recycle_supervisor(args):
         with open(args.save, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
+
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from linkprobe import measure_link_mb_s  # noqa: E402  (benchmarks/)
 
 
 def main():
@@ -296,8 +307,10 @@ def main():
     sep = LongAudioSeparator(cfg, mesh, chunk_frames=args.chunk_frames)
     repeats = []
     anon_after_repeat = []
+    link_probes = []
     with MemSampler() as sampler:
         for _ in range(max(1, args.repeats)):
+            link_probes.append(measure_link_mb_s())
             t0 = time.perf_counter()
             result = sep.separate_streamed(
                 args.wav, output_prefix=args.out_prefix
@@ -350,6 +363,9 @@ def main():
         # async dispatch vs upload fence vs NMF+recon vs download drain
         stage_seconds=result.get("stage_seconds"),
         transfer_mb=result.get("transfer_mb"),
+        # same-moment raw link rate before each repeat: the pipeline moves
+        # ~920 MB/pass, so wall time tracks THIS, not pipeline structure
+        link_probe_per_repeat=link_probes,
         host_heap_trims=result.get("host_heap_trims"),
         backend=jax.default_backend(),
         device=str(jax.devices()[0]),
