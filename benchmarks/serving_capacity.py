@@ -149,6 +149,14 @@ def sweep_one(
         aggregate_realtime_factor=round(
             n_streams * deadline_ms / float(np.mean(times_ms)), 1
         ),
+        # stall census: the link exhibits sporadic multi-second freezes
+        # (every configuration's max shows them); p99 capacity through
+        # this harness is bounded by their frequency, not by throughput —
+        # the top-5 makes that attributable per row
+        stalls_over_3x_deadline=int((times_ms > 3 * deadline_ms).sum()),
+        slowest_ticks_ms=[
+            round(float(x), 1) for x in np.sort(times_ms)[-5:]
+        ],
     )
     if async_fetch:
         # delivery latency (dispatch → output on host) from the server's
@@ -265,9 +273,18 @@ def main():
         pipeline_depth=headline_depth,
         note=(
             "free-running ticks (stress superset of the paced 32 ms "
-            "cadence); p99 over %d ticks/tenancy; tick includes the "
-            "blocking fetch of tick N-2's output (the consumer path) and "
-            "rides the axon tunnel both ways"
+            "cadence); p99 over %d ticks/tenancy; sync rows include the "
+            "blocking fetch of tick N-depth's output, async rows fetch on "
+            "a consumer thread (tick = dispatch only, delivery_* = "
+            "dispatch->output latency). CAPACITY CAVEAT: the tunnel "
+            "freezes for multiple SECONDS sporadically (see "
+            "slowest_ticks_ms / delivery_max_ms in every configuration, "
+            "with healthy link_probe rates on both sides of the sweep) — "
+            "at ~1%% frequency over 500 ticks, p99 through this harness "
+            "is bounded by stall luck, not server structure; absorbing a "
+            "3 s stall needs ~100 blocks of pipeline. On an attached "
+            "host the async tick cost is the dispatch p50 (2-5 ms at "
+            "8-32 streams), leaving capacity device-bound (>=128)."
             % args.ticks
         ),
         backend=jax.default_backend(),
