@@ -362,6 +362,9 @@ class RealtimeGCCNMFWindow:
         self.deadline_misses = 0
         self._proc_times: deque = deque(maxlen=64)
         self._pump_error: str | None = None  # rendered on the status line
+        from gccnmf_tpu.utils.hostmem import HostMemWatchdog
+
+        self._mem_watchdog = HostMemWatchdog()
         if output_stream is None:
             from gccnmf_tpu.realtime.audio import open_output_stream
 
@@ -629,6 +632,14 @@ class RealtimeGCCNMFWindow:
                 f" | underruns {getattr(stream, 'underruns', 0)}"
                 f" | overruns {getattr(stream, 'overruns', 0)}"
             )
+        # host-memory watchdog: the tunnel transport retains live staging
+        # heap ~1:1 with uploaded bytes for the process lifetime
+        # (docs/tunnel_probe.json) — a days-long GUI session should see
+        # the growth and the recycle signal, same as serving telemetry
+        mem = self._mem_watchdog.check()
+        text += f" | mem {mem['anon_mib']:.0f} MiB"
+        if mem["exceeded"]:
+            text += " (RECYCLE: over budget)"
         self.status_var.set(text)
 
     # ------------------------------------------------------------- lifecycle

@@ -633,6 +633,11 @@ def test_stub_window_status_line_shows_live_health(gui_app):
         assert "blocks" in text and "proc" in text
         assert "deadline misses" in text
         assert "underruns 2" in text and "overruns" in text
+        # round 5: the host-memory watchdog rides the same line (the
+        # tunnel transport's staging retention grows for the process
+        # lifetime — docs/tunnel_probe.json)
+        assert " | mem " in text and "MiB" in text
+        assert "RECYCLE" not in text  # far under the 6 GiB budget here
         n = win.blocks_processed
         assert f"blocks {n}" in text
         assert win.deadline_misses <= n
