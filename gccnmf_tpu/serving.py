@@ -81,7 +81,12 @@ class _FetchWorker:
             if item is None:
                 return
             out, submitted, t_dispatch = item
-            out_np = np.asarray(out)  # waits on the transfer, not the GIL
+            try:
+                out_np = np.asarray(out)  # waits on the transfer, not GIL
+            except Exception as e:  # a failed fetch must surface on the
+                # tick thread, not strand take(block=True) forever
+                self._done.put(e)
+                continue
             self._done.put((out_np, submitted, t_dispatch, time.perf_counter()))
 
     def submit(self, out, submitted: dict, t_dispatch: float) -> None:
@@ -90,7 +95,8 @@ class _FetchWorker:
 
     def take(self, block: bool):
         """Oldest completed (out_np, submitted, t_dispatch, t_done) or
-        None when nothing is ready and ``block`` is False."""
+        None when nothing is ready and ``block`` is False. Re-raises a
+        fetch failure (device error mid-transfer) on the caller thread."""
         import queue
 
         try:
@@ -98,6 +104,8 @@ class _FetchWorker:
         except queue.Empty:
             return None
         self.outstanding -= 1
+        if isinstance(item, Exception):
+            raise item
         return item
 
     def drain(self) -> list:

@@ -320,6 +320,29 @@ def test_async_fetch_backpressure_bounds_outstanding(w, cfg):
     assert srv._fetcher is None
 
 
+def test_fetch_worker_surfaces_fetch_failure(w, cfg):
+    """A device error inside the worker's fetch must re-raise on the tick
+    thread, not kill the worker silently and strand take(block=True)."""
+    from gccnmf_tpu.serving import _FetchWorker
+
+    class Poisoned:
+        def __array__(self, *a, **k):
+            raise RuntimeError("device fell over")
+
+    worker = _FetchWorker()
+    try:
+        worker.submit(Poisoned(), {0: 0}, 0.0)
+        with pytest.raises(RuntimeError, match="device fell over"):
+            worker.take(block=True)
+        # the worker thread survived the failure: a good item still flows
+        worker.submit(np.zeros((1, 2, 4), np.float32), {0: 0}, 0.0)
+        out_np, submitted, _, _ = worker.take(block=True)
+        assert submitted == {0: 0} and out_np.shape == (1, 2, 4)
+        assert worker.outstanding == 0
+    finally:
+        worker.stop()
+
+
 def test_pipelined_close_still_returns_inflight_output(w, cfg):
     """A stream closed (and its slot re-tenanted) while its tick is still
     in the pipeline must get its own audio back, not the new tenant's."""
