@@ -75,14 +75,21 @@ STEPS = (
     # writes docs/turbo_equivalence.json unconditionally -> full-only
     ("turbo_equivalence", _py("benchmarks", "turbo_equivalence.py"),
      None, None),
-    # prints jsonl to stdout (the committed docs/scaling/*.jsonl are
-    # redirections of it) -> quick is safe as-is
+    # prints jsonl to stdout; the full run captures it into the committed
+    # docs/scaling/batch_real.jsonl (see _STDOUT_TO), quick mode leaves
+    # stdout alone
     ("batch_sweep",
      _py("benchmarks", "scaling.py") + ["--mode", "batch"],
      ["--quick"], None),
     ("collectives", _py("benchmarks", "collectives.py"), [], None),
     ("pesq_curves", _py("examples", "render_pesq_curves.py"), None, None),
 )
+
+# full-mode stdout captures for producers whose committed artifact IS
+# their stdout (never applied under --quick)
+_STDOUT_TO = {
+    "batch_sweep": os.path.join(_REPO, "docs", "scaling", "batch_real.jsonl"),
+}
 
 
 def main() -> int:
@@ -128,8 +135,13 @@ def main() -> int:
                 env = dict(os.environ, **quick_env)
         print(f"== {name}: {' '.join(argv[1:])}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
+        stdout_to = None if args.quick else _STDOUT_TO.get(name)
         # serialized on purpose: the tunnel wedges under concurrent clients
-        proc = subprocess.run(argv, cwd=_REPO, env=env)
+        if stdout_to:
+            with open(stdout_to, "w") as fh:
+                proc = subprocess.run(argv, cwd=_REPO, env=env, stdout=fh)
+        else:
+            proc = subprocess.run(argv, cwd=_REPO, env=env)
         dt = time.perf_counter() - t0
         results.append(dict(
             step=name, status="ok" if proc.returncode == 0 else "FAILED",
