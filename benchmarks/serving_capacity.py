@@ -91,6 +91,7 @@ def sweep_one(
     warmup: int = WARMUP,
     pipeline_depth: int | None = None,
     async_fetch: bool = False,
+    wire_dtype: str = "float32",
 ) -> dict:
     from gccnmf_tpu.serving import StreamServer, StreamSettings
     from gccnmf_tpu.models.realtime import StreamConfig
@@ -102,7 +103,7 @@ def sweep_one(
     cfg = StreamConfig(sample_rate=16000)
     server = StreamServer(
         w, cfg, max_streams=n_streams, pipeline_depth=pipeline_depth,
-        async_fetch=async_fetch,
+        async_fetch=async_fetch, wire_dtype=wire_dtype,
     )
     sids = [server.open_stream(StreamSettings()) for _ in range(n_streams)]
 
@@ -138,6 +139,7 @@ def sweep_one(
         ticks=ticks,
         pipeline_depth=pipeline_depth,
         async_fetch=async_fetch,
+        wire_dtype=wire_dtype,
         deadline_ms=deadline_ms,
         p50_ms=round(p50, 3),
         p90_ms=round(p90, 3),
@@ -231,6 +233,15 @@ def main():
         row = sweep_one(
             n, ticks=args.ticks, pipeline_depth=headline_depth,
             async_fetch=True,
+        )
+        async_rows.append(row)
+        print(f"# {json.dumps(row)}", file=sys.stderr)
+    # int16 wire at the two highest tenancies: per-tick bytes halve,
+    # which is the p50 driver once the batch transfer dominates
+    for n in args.tenancies[-2:]:
+        row = sweep_one(
+            n, ticks=args.ticks, pipeline_depth=headline_depth,
+            async_fetch=True, wire_dtype="int16",
         )
         async_rows.append(row)
         print(f"# {json.dumps(row)}", file=sys.stderr)

@@ -560,6 +560,12 @@ def serve_main(argv=None):
                          "fetching on the consumer thread (diagnostic; "
                          "the async default keeps transport latency "
                          "spikes off the tick deadline path)")
+    ap.add_argument("--wire-dtype", choices=["float32", "int16"],
+                    default="float32",
+                    help="int16 ships tick blocks/outputs as 16-bit PCM "
+                         "(half the link bytes — the per-tick driver at "
+                         "high tenancy); outputs are quantized exactly "
+                         "as the WAV writer would quantize them")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.verbose:
@@ -587,6 +593,7 @@ def serve_main(argv=None):
         w, scfg, max_streams=args.max_streams or len(args.inputs),
         pipeline_depth=args.pipeline_depth,
         async_fetch=not args.sync_fetch,
+        wire_dtype=args.wire_dtype,
     )
 
     from gccnmf_tpu.serving import StreamSettings

@@ -144,6 +144,7 @@ class StreamServer:
         mesh=None,
         pipeline_depth: int = 0,
         async_fetch: bool = False,
+        wire_dtype: str = "float32",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         the slot batch (state, params, blocks) is sharded across it, scaling
@@ -165,7 +166,15 @@ class StreamServer:
         way; ``tick_stats()['delivery_ms']`` reports dispatch→delivery
         latency in async mode. This is the recommended production
         configuration (``gccnmf-serve`` defaults to depth 2 + async;
-        measured capacity: docs/scaling/serving_capacity.json)."""
+        measured capacity: docs/scaling/serving_capacity.json).
+
+        ``wire_dtype``: ``"int16"`` ships tick blocks and outputs as
+        16-bit PCM (half the host↔device bytes — the driver of per-tick
+        time at high tenancy: 128 streams move ~1 MB/tick as f32) with
+        PCM↔float conversion on device. The API stays float32 in/out;
+        outputs are quantized exactly as ``utils.wav.write_wav`` would
+        quantize them, so a WAV-bound deployment loses nothing. Same
+        design as ``separate_batches(io_dtype="int16")``."""
         self.processor = RTGCCNMFProcessor(w, config)
         self.config = config
         self.max_streams = max_streams
@@ -182,6 +191,13 @@ class StreamServer:
                 )
             self._slot_sharding = NamedSharding(mesh, P("data"))
         self._reset_slot = jax.jit(self._reset_slot_impl)  # per-instance
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32 or int16: {wire_dtype}")
+        self.wire_dtype = wire_dtype
+        if wire_dtype == "int16":
+            # per-instance wrapper (never class-level static-self jit):
+            # PCM->float on device, step, float->PCM on device
+            self._step_wire = jax.jit(self._step_i16_impl)
         self._state = self._place(self.processor.init_state(max_streams))
         self._fresh_slot_state = self.processor.init_state(1)
         self._settings: list[StreamSettings | None] = [None] * max_streams
@@ -277,6 +293,25 @@ class StreamServer:
 
     # ------------------------------------------------------------- stepping
 
+    def _step_i16_impl(self, state, blocks_i16, params):
+        """int16-wire tick: /32768 in, writer-exact quantization out
+        (utils/wav.py:41-49 semantics — clip to [-1, 1-2^-15], scale,
+        truncate), both on device so the link carries half the bytes."""
+        blocks = blocks_i16.astype(jnp.float32) / 32768.0
+        state, out, telemetry = self.processor._step_impl(
+            state, blocks, params
+        )
+        out_i16 = (
+            jnp.clip(out, -1.0, 1.0 - 2.0**-15) * 32768.0
+        ).astype(jnp.int16)
+        return state, out_i16, telemetry
+
+    def _from_wire(self, out_np: np.ndarray) -> np.ndarray:
+        """Materialized tick output -> float32 API currency."""
+        if self.wire_dtype == "int16":
+            return out_np.astype(np.float32) / 32768.0
+        return out_np
+
     def _reset_slot_impl(self, state, slot):
         """Zero one slot's state leaves (traced index: one compile total).
         Jitted per instance in __init__ — a class-level static-self jit
@@ -348,9 +383,19 @@ class StreamServer:
             batch[self._ids[stream_id]] = block
         if self._params_cache is None:
             self._params_cache = self._place(self._batched_params())
-        state, out, telemetry = self.processor.step(
-            self._state, self._place(jnp.asarray(batch)), self._params_cache
-        )
+        if self.wire_dtype == "int16":
+            wire = np.clip(batch * 32768.0, -32768.0, 32767.0).astype(
+                np.int16
+            )
+            state, out, telemetry = self._step_wire(
+                self._state, self._place(jnp.asarray(wire)),
+                self._params_cache,
+            )
+        else:
+            state, out, telemetry = self.processor.step(
+                self._state, self._place(jnp.asarray(batch)),
+                self._params_cache,
+            )
         self._state = state
         self._blocks_processed += 1
         # keep telemetry on device; materialize only if someone reads it
@@ -379,6 +424,7 @@ class StreamServer:
                     return {}
                 out_np, submitted, t_dispatch, t_done = item
                 self._delivery_times.record(t_done - t_dispatch)
+                out_np = self._from_wire(out_np)
                 result = {
                     sid: out_np[slot] for sid, slot in submitted.items()
                 }
@@ -392,7 +438,7 @@ class StreamServer:
             out, submitted = self._inflight.pop(0)
         else:
             submitted = {s: self._ids[s] for s in blocks}
-        out_np = np.asarray(out)
+        out_np = self._from_wire(np.asarray(out))
         result = {sid: out_np[slot] for sid, slot in submitted.items()}
         # days-long serving: trim the server's own allocator churn every
         # ~256 MB of traffic; the transport's live staging retention is
@@ -468,12 +514,18 @@ class StreamServer:
             for _, _, t_dispatch, t_done in items:
                 self._delivery_times.record(t_done - t_dispatch)
             return [
-                {sid: out_np[slot] for sid, slot in submitted.items()}
+                {
+                    sid: self._from_wire(out_np)[slot]
+                    for sid, slot in submitted.items()
+                }
                 for out_np, submitted, _, _ in items
             ]
         pending, self._inflight = self._inflight, []
         return [
-            {sid: np.asarray(out)[slot] for sid, slot in submitted.items()}
+            {
+                sid: self._from_wire(np.asarray(out))[slot]
+                for sid, slot in submitted.items()
+            }
             for out, submitted in pending
         ]
 

@@ -320,6 +320,43 @@ def test_async_fetch_backpressure_bounds_outstanding(w, cfg):
     assert srv._fetcher is None
 
 
+def test_int16_wire_matches_float_within_quantization(w, cfg):
+    """wire_dtype='int16' (half the per-tick link bytes) must equal the
+    float32 server up to output PCM quantization when fed int16-born
+    audio (the deployment case): same f32 blocks enter the step either
+    way, so only the writer-exact output quantization differs."""
+    srv_f = StreamServer(w, cfg, max_streams=2)
+    srv_i = StreamServer(w, cfg, max_streams=2, wire_dtype="int16")
+    sf, si = srv_f.open_stream(), srv_i.open_stream()
+    blocks = _signal(7, 6, cfg)
+    # int16-born input: exactly representable in both paths
+    blocks = np.round(np.clip(blocks, -1, 0.999) * 32768.0) / 32768.0
+    blocks = blocks.astype(np.float32)
+    for b in blocks:
+        out_f = srv_f.process({sf: b})[sf]
+        out_i = srv_i.process({si: b})[si]
+        assert out_i.dtype == np.float32
+        np.testing.assert_allclose(out_i, out_f, atol=2.0**-15 + 1e-7)
+    # quantization grid: every int16-wire sample is a multiple of 2^-15
+    assert np.allclose(out_i * 32768.0, np.round(out_i * 32768.0), atol=1e-4)
+
+
+def test_int16_wire_with_async_pipeline(w, cfg):
+    """int16 wire composes with the production async pipeline shape."""
+    srv = StreamServer(
+        w, cfg, max_streams=1, pipeline_depth=2, async_fetch=True,
+        wire_dtype="int16",
+    )
+    sid = srv.open_stream()
+    blocks = _signal(9, 5, cfg)
+    got = [out[sid] for b in blocks if (out := srv.process({sid: b}))]
+    got += [t[sid] for t in srv.flush()]
+    assert len(got) == 5 and all(g.dtype == np.float32 for g in got)
+    srv.close()
+    with pytest.raises(ValueError, match="wire_dtype"):
+        StreamServer(w, cfg, max_streams=1, wire_dtype="int8")
+
+
 def test_fetch_worker_surfaces_fetch_failure(w, cfg):
     """A device error inside the worker's fetch must re-raise on the tick
     thread, not kill the worker silently and strand take(block=True)."""
