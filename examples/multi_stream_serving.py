@@ -38,7 +38,14 @@ def main():
     banks = pretrain.get_dictionaries(cfg.window_size, sizes=(args.dictionary_size,))
     w = banks["Pretrained"][args.dictionary_size]
 
-    server = StreamServer(w, cfg, max_streams=args.streams)
+    # production shape: 2 ticks of dispatch pipelining with the fetch on
+    # a consumer thread (a link latency spike delays one delivery instead
+    # of stalling every tenant); int16 wire halves the per-tick link
+    # bytes — see gccnmf-serve --pipeline-depth/--wire-dtype
+    server = StreamServer(
+        w, cfg, max_streams=args.streams, pipeline_depth=2,
+        async_fetch=True, wire_dtype="int16",
+    )
     # each stream gets a different mask sharpness; the last one passes through
     ids = []
     for i in range(args.streams):
@@ -61,14 +68,20 @@ def main():
         (i * total_blocks) // args.streams for i in range(args.streams)
     ]
     outputs = {sid: [] for sid in ids}
+
+    def collect(tick_out):
+        for sid, block in tick_out.items():
+            outputs[sid].append(block)
+
     for b in range(num_blocks):
         subs = {}
         for i, sid in enumerate(ids):
             pos = (offsets[i] + b) % total_blocks
             subs[sid] = stereo[:, pos * cfg.block_size : (pos + 1) * cfg.block_size]
-        out = server.process(subs)
-        for sid in ids:
-            outputs[sid].append(out[sid])
+        collect(server.process(subs))  # {} while the pipeline fills
+    for tail in server.flush():  # drain the 2 inflight ticks
+        collect(tail)
+    server.close()
 
     prefix = args.output_prefix or args.input.rsplit(".", 1)[0]
     for i, sid in enumerate(ids):
