@@ -197,6 +197,15 @@ def main():
              "Deeper pipelining absorbs the link's tail spikes at a cost "
              "of depth x 32 ms of serving latency",
     )
+    ap.add_argument(
+        "--replicas", type=int, default=3,
+        help="replicas of the headline-depth sync and async sweeps; the "
+             "published capacity is the MEDIAN of the per-replica "
+             "capacities (same discipline as the streamed bench's "
+             "median-of-4: the link's ~1%%-frequency multi-second stalls "
+             "make any single 500-tick p99 a coin flip — single-sweep "
+             "capacities measured {8,1,8,1} across one day)",
+    )
     args = ap.parse_args()
 
     jax = _setup_jax()
@@ -210,14 +219,20 @@ def main():
     headline_depth = args.depths[0]
     rows = []
     depth_rows = []
-    for n in args.tenancies:
-        row = sweep_one(n, ticks=args.ticks, pipeline_depth=headline_depth)
-        row["device_ms_per_tick"] = round(device_tick_ms(n), 3)
-        row["device_meets_deadline"] = bool(
-            row["device_ms_per_tick"] < row["deadline_ms"]
-        )
-        rows.append(row)
-        print(f"# {json.dumps(row)}", file=sys.stderr)
+    replicas = max(1, args.replicas)
+    for rep in range(replicas):
+        for n in args.tenancies:
+            row = sweep_one(
+                n, ticks=args.ticks, pipeline_depth=headline_depth
+            )
+            row["replica"] = rep
+            if rep == 0:
+                row["device_ms_per_tick"] = round(device_tick_ms(n), 3)
+                row["device_meets_deadline"] = bool(
+                    row["device_ms_per_tick"] < row["deadline_ms"]
+                )
+            rows.append(row)
+            print(f"# {json.dumps(row)}", file=sys.stderr)
     for depth in args.depths[1:]:
         for n in args.tenancies:
             row = sweep_one(n, ticks=args.ticks, pipeline_depth=depth)
@@ -229,13 +244,15 @@ def main():
     # only dispatch; capacity requires tick p99 < deadline AND delivery
     # p99 within (depth+2) blocks
     async_rows = []
-    for n in args.tenancies:
-        row = sweep_one(
-            n, ticks=args.ticks, pipeline_depth=headline_depth,
-            async_fetch=True,
-        )
-        async_rows.append(row)
-        print(f"# {json.dumps(row)}", file=sys.stderr)
+    for rep in range(replicas):
+        for n in args.tenancies:
+            row = sweep_one(
+                n, ticks=args.ticks, pipeline_depth=headline_depth,
+                async_fetch=True,
+            )
+            row["replica"] = rep
+            async_rows.append(row)
+            print(f"# {json.dumps(row)}", file=sys.stderr)
     # int16 wire at the two highest tenancies: per-tick bytes halve,
     # which is the p50 driver once the batch transfer dominates
     for n in args.tenancies[-2:]:
@@ -246,10 +263,25 @@ def main():
         async_rows.append(row)
         print(f"# {json.dumps(row)}", file=sys.stderr)
 
-    meeting = [r["streams"] for r in rows if r["meets_deadline_at_p99"]]
-    dev_meeting = [r["streams"] for r in rows if r["device_meets_deadline"]]
+    def _median_capacity(all_rows, key) -> tuple[int, list[int]]:
+        """Per-replica max tenancy passing ``key`` → (median, raw list)."""
+        caps = []
+        for rep in range(replicas):
+            ok = [
+                r["streams"] for r in all_rows
+                if r.get("replica") == rep and r.get(key)
+                and r.get("wire_dtype", "float32") == "float32"
+            ]
+            caps.append(max(ok) if ok else 0)
+        return int(np.median(caps)), caps
+
+    dev_meeting = [
+        r["streams"] for r in rows if r.get("device_meets_deadline")
+    ]
     depth_capacity = {
-        str(headline_depth): max(meeting) if meeting else 0,
+        str(headline_depth): _median_capacity(
+            rows, "meets_deadline_at_p99"
+        )[0],
     }
     for depth in args.depths[1:]:
         ok = [
@@ -266,16 +298,25 @@ def main():
         # 0.04 ms of device compute): the host-loop number is what THIS
         # harness sustains; the device-compute number is what bounds a
         # directly-attached production host (+~0.2 ms dispatch)
-        max_streams_meeting_deadline_at_p99=max(meeting) if meeting else 0,
+        # MEDIAN of per-replica capacities (raw per-replica lists
+        # alongside): a single 500-tick p99 through this link is a coin
+        # flip on catching one of its multi-second stalls
+        max_streams_meeting_deadline_at_p99=_median_capacity(
+            rows, "meets_deadline_at_p99"
+        )[0],
+        sync_capacity_per_replica=_median_capacity(
+            rows, "meets_deadline_at_p99"
+        )[1],
         max_streams_by_device_compute=max(dev_meeting) if dev_meeting else 0,
         # the production default (async fetch thread at the headline
         # depth): max tenancy whose tick p99 meets the deadline AND whose
         # dispatch→delivery p99 stays within (depth+2) blocks
-        max_streams_async_within_latency_budget=max(
-            (r["streams"] for r in async_rows
-             if r.get("meets_deadline_and_latency_budget")),
-            default=0,
-        ),
+        max_streams_async_within_latency_budget=_median_capacity(
+            async_rows, "meets_deadline_and_latency_budget"
+        )[0],
+        async_capacity_per_replica=_median_capacity(
+            async_rows, "meets_deadline_and_latency_budget"
+        )[1],
         # deeper pipelining amortizes link-tail spikes across more inflight
         # ticks (cost: depth x 32 ms of serving latency) — per-depth max
         # tenancy meeting the p99 deadline
