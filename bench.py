@@ -893,7 +893,9 @@ def main():
                 k: cap[k]
                 for k in (
                     "max_streams_meeting_deadline_at_p99",
+                    "sync_capacity_per_replica",
                     "max_streams_async_within_latency_budget",
+                    "async_capacity_per_replica",
                     "max_streams_at_p99_by_depth",
                     "max_streams_by_device_compute",
                     "deadline_ms",
