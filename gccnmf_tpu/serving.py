@@ -530,9 +530,10 @@ class StreamServer:
         ]
 
     def close(self) -> None:
-        """Stop the async fetch worker (drains outstanding ticks first).
-        Idempotent; only needed in async_fetch mode — the worker is a
-        daemon thread, so process exit never hangs on it either way."""
+        """Stop the async fetch worker. Outstanding tick outputs are
+        waited for and DISCARDED — call :meth:`flush` first if you want
+        them. Idempotent; only needed in async_fetch mode — the worker is
+        a daemon thread, so process exit never hangs on it either way."""
         if self._fetcher is not None:
             self._fetcher.drain()
             self._fetcher.stop()
