@@ -122,8 +122,9 @@ def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
                       v_ref, w0_ref, h0_ref, w_out_ref, h_out_ref,
                       shared_q=False):
     """Aggressive-throughput variant: V resident in bf16 and the ratio
-    q = V/WH computed in bf16 (divide + guard selects run at 2x VPU lanes,
-    GEMMs consume q with no cast). W/H state, row sums, and GEMM
+    q = V/WH built as V times approx-reciprocal(WH) — the reciprocal runs
+    on the f32 GEMM accumulation, the product in bf16, and the GEMMs
+    consume q with no cast. W/H state, row sums, and GEMM
     accumulation stay f32. Measured 1.30x over the bf16-GEMM mode at the
     reference shape (benchmarks/nmf_variants.py, batch 128 x 100 iters)
     with ~4% max relative W trajectory drift — a different but equally
@@ -137,14 +138,26 @@ def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
     GEMMs + 1 big divide per iteration instead of the reference's 4 + 2.
     Measured 1.26x over "bfloat16_q"; a different algorithm (opt-in, never
     the parity path), quality-gated end-to-end in tests/test_nmf_pallas."""
+    from jax.experimental import pallas as pl
+
     bf = jnp.bfloat16
     v = v_ref[:].astype(bf)
     tiny = 1e-30
 
     def safe_div_bf(a, b):
-        # Mosaic can't cmpf bf16 on this target; compare in f32.
-        ok = b.astype(jnp.float32) > tiny
-        return jnp.where(ok, a / jnp.where(ok, b, bf(1.0)), bf(0.0))
+        # q = a·(1/b) with the VPU's approximate-reciprocal unit instead of
+        # a true divide. b is the raw f32 GEMM accumulation (no bf16 round
+        # trip before the reciprocal); the ~2^-12 reciprocal error sits
+        # below the bf16 quantization of q itself. Measured on v5e at the
+        # reference shape (batch 128 × 100 iters, interleaved A/B):
+        # bf16_q 138.7 → 132.4 ms, turbo 117.6 → 113.6 ms (~1.04×), max W
+        # drift 2.4% — inside the ~4% trajectory tolerance these modes
+        # already carry. Applying the same trick to the (·,K)-row divides
+        # (H/W denominators, atom renorm) measured 1.00×: dead end, the
+        # planes there are 5–20× smaller.
+        ok = b > tiny
+        r = pl.reciprocal(jnp.where(ok, b, 1.0), approx=True).astype(bf)
+        return jnp.where(ok, a * r, bf(0.0))
 
     def safe_div(a, b):
         ok = b > tiny
@@ -167,7 +180,7 @@ def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
     def body(_, wh):
         w, h = wh
         wbf = w.astype(bf)
-        q = safe_div_bf(v, mm(h, w, ((1,), (1,))).astype(bf))
+        q = safe_div_bf(v, mm(h, w, ((1,), (1,))))
         h_new = h * dg(q, wbf, ((1,), (0,))) / (
             jnp.sum(w, axis=0, keepdims=True) + sparsity_alpha + epsilon
         )
@@ -180,7 +193,7 @@ def _nmf_kernel_bf16q(num_iterations, sparsity_alpha, epsilon,
             h_for_w = h
         else:
             h_for_w = h_new
-            q = safe_div_bf(v, mm(h_new, w, ((1,), (1,))).astype(bf))
+            q = safe_div_bf(v, mm(h_new, w, ((1,), (1,))))
         num = dg(q, h_for_w.astype(bf), ((0,), (0,)))
         w = w * safe_div(num, jnp.sum(h_for_w, axis=0, keepdims=True))
         norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
