@@ -448,9 +448,11 @@ class LongAudioSeparator:
         """
         cfg = self.config
         k = cfg.dictionary_size
-        np.random.seed(0)
+        # private MT19937 stream: same values as the reference's global
+        # seed(0) draws, without reseeding the caller's np.random state
+        rs = np.random.RandomState(0)
         w0 = (
-            np.random.random((cfg.num_freq, k)).astype(np.float32)
+            rs.random_sample((cfg.num_freq, k)).astype(np.float32)
             + cfg.epsilon
         )
         if self.nmf_init == "device":
@@ -473,7 +475,7 @@ class LongAudioSeparator:
         for k0 in range(0, k, atom_block):
             kb = min(atom_block, k - k0)
             blk = (
-                np.random.random((kb, t2)).astype(np.float32) + cfg.epsilon
+                rs.random_sample((kb, t2)).astype(np.float32) + cfg.epsilon
             )
             buf = upd(buf, blk, k0)
         return w0, buf.T  # (2T, K) — matches nmf_init_numpy's h0.T
