@@ -42,8 +42,6 @@ def _py(*rel: str) -> list[str]:
 # writes one — a smoke run must never overwrite a committed full-scale
 # artifact. Steps whose quick form is None are skipped under --quick.
 STEPS = (
-    ("bench", _py("bench.py"), ["--quick"],
-     {"GCCNMF_BENCH_FULL_OUT": "/tmp/bench_full_quick.json"}),
     ("six_wavs", _py("benchmarks", "parity_six_wavs.py"),
      ["--quick", "--out", "/tmp/parity_six_wavs_quick.json"], None),
     ("serving", _py("benchmarks", "serving_capacity.py"),
@@ -83,6 +81,14 @@ STEPS = (
      ["--quick"], None),
     ("collectives", _py("benchmarks", "collectives.py"), [], None),
     ("pesq_curves", _py("examples", "render_pesq_curves.py"), None, None),
+    # bench.py runs LAST: it folds docs/parity_six_wavs.json,
+    # docs/scaling/serving_capacity.json and docs/streamed_*.json into
+    # bench_full.json, so it must consume the artifacts THIS run just
+    # produced — with bench first, those sections lag one generation
+    # behind the run's own stamp (found in the round-5 regeneration:
+    # bench_full carried streamed sections from a 3-hour-older SHA).
+    ("bench", _py("bench.py"), ["--quick"],
+     {"GCCNMF_BENCH_FULL_OUT": "/tmp/bench_full_quick.json"}),
 )
 
 # full-mode stdout captures for producers whose committed artifact IS

@@ -51,12 +51,14 @@ def nmf_init_numpy(
 ):
     """Reference-identical seeded init (gccNMFFunctions.py:70-73).
 
-    Uses the legacy NumPy global MT19937 stream: seed, then W drawn first,
-    H second, both cast to float32 before adding epsilon.
+    Same MT19937 stream as the reference's global ``seed(0)`` draws — W
+    first, H second, both cast to float32 before adding epsilon — but
+    drawn from a private RandomState so calling this never reseeds the
+    caller's global ``np.random`` state as a side effect.
     """
-    np.random.seed(seed_value)
-    w0 = np.random.random((num_freq, dictionary_size)).astype(np.float32) + epsilon
-    h0 = np.random.random((dictionary_size, num_time)).astype(np.float32) + epsilon
+    rs = np.random.RandomState(seed_value)
+    w0 = rs.random_sample((num_freq, dictionary_size)).astype(np.float32) + epsilon
+    h0 = rs.random_sample((dictionary_size, num_time)).astype(np.float32) + epsilon
     return w0, np.ascontiguousarray(h0.T)  # H returned time-major (T, K)
 
 
