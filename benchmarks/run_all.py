@@ -163,7 +163,13 @@ def main() -> int:
     from gccnmf_tpu.utils.stamp import run_stamp
 
     report = dict(steps=results, quick=bool(args.quick), stamp=run_stamp())
-    out_path = os.path.join(_REPO, "docs", "evidence_run.json")
+    # docs/evidence_run.json certifies a FULL regeneration — a partial or
+    # smoke run must not overwrite that record with its own subset
+    partial = bool(args.quick or args.only is not None or args.skip)
+    out_path = (
+        "/tmp/evidence_run_partial.json" if partial
+        else os.path.join(_REPO, "docs", "evidence_run.json")
+    )
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
